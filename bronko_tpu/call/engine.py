@@ -1,0 +1,243 @@
+"""Call orchestrator: count -> map -> select -> call -> write, per sample.
+
+The TPU pipeline equivalent of call() (call.rs:151-402):
+  * read k-mer counting runs on device (ops/count.py), replacing the KMC3
+    subprocess;
+  * mapping runs on device in fixed-size jitted batches (ops/map.py),
+    replacing the rayon/DashMap scatter loop;
+  * genome selection is an argmax over psum-able per-genome tallies
+    (pick_best_genome, call.rs:422-450);
+  * the noise scan + filter cascade run on host in f64 for bit-parity
+    (call/noise.py, call/variants.py);
+  * paired-end samples are counted per mate and mapped as one concatenated
+    batch stream — the depth max / count add / tally sum semantics are
+    identical to the reference's two map_kmers passes into shared pileups
+    (call.rs:301-320).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from bronko_tpu.call.noise import baseline_noise
+from bronko_tpu.call.outputs import (
+    SampleSummary, write_alignments, write_overview, write_pileup, write_vcf,
+)
+from bronko_tpu.call.variants import CallStats, VCFRecord, call_variants_for_seq
+from bronko_tpu.config import CallConfig
+from bronko_tpu.index.layout import DeviceIndex
+from bronko_tpu.index.model import BronkoIndex
+from bronko_tpu.io.fastq import read_fastq_chunks
+from bronko_tpu.ops.count import CountStats, KmerCounter
+from bronko_tpu.ops.map import (
+    PLANE_CNT_FWD, PLANE_CNT_REV, PLANE_DEPTH_FWD, PLANE_DEPTH_REV,
+    map_batch_jit,
+)
+
+log = logging.getLogger("bronko")
+
+
+@dataclass
+class MappingResult:
+    pileup: np.ndarray          # (4, T+1, 4) int32 on host
+    tallies: np.ndarray         # (G, 3) int64 [perfect, variant, unique]
+
+
+def count_sample(path: str, cfg: CallConfig, k: int) -> tuple[np.ndarray, np.ndarray, CountStats]:
+    counter = KmerCounter(k, cfg.min_kmers)
+    lpad = None
+    for codes, lengths, n_reads in read_fastq_chunks(path, cfg.chunk_reads):
+        # stabilize shapes across chunks to avoid jit recompiles
+        if lpad is None or codes.shape[1] > lpad:
+            lpad = -(-codes.shape[1] // 32) * 32
+        if codes.shape[1] < lpad or codes.shape[0] < cfg.chunk_reads:
+            padded = np.full((cfg.chunk_reads, lpad), 4, np.uint8)
+            padded[: codes.shape[0], : codes.shape[1]] = codes
+            codes = padded
+            lengths = np.pad(lengths, (0, cfg.chunk_reads - lengths.shape[0]))
+        counter.add_chunk(codes, lengths, n_reads)
+    kmers, counts = counter.finalize()
+    return kmers, counts, counter.stats
+
+
+def map_sample(
+    kmers: np.ndarray, counts: np.ndarray, dev: DeviceIndex, cfg: CallConfig
+) -> MappingResult:
+    mcfg = dev.map_config(cfg.n_fixed, cfg.use_full_kmer)
+    T = dev.total_len
+    pileup = jnp.zeros((4, T + 1, 4), jnp.int32)
+    tallies = jnp.zeros((dev.num_genomes, 3), jnp.int32)
+
+    B = cfg.batch_size
+    n = kmers.shape[0]
+    if len(mcfg.positions) > 0 and n > 0:
+        for lo in range(0, n, B):
+            kb = kmers[lo:lo + B]
+            cb = counts[lo:lo + B].astype(np.int32)
+            if kb.shape[0] < B:
+                kb = np.pad(kb, (0, B - kb.shape[0]))
+                cb = np.pad(cb, (0, B - cb.shape[0]))
+            pileup, tallies = map_batch_jit(
+                jnp.asarray(kb), jnp.asarray(cb),
+                dev.keys, dev.offsets, dev.gpos, dev.pmeta,
+                pileup, tallies, mcfg,
+            )
+    return MappingResult(np.asarray(pileup), np.asarray(tallies).astype(np.int64))
+
+
+def pick_best_genome(tallies: np.ndarray, dev: DeviceIndex) -> int | None:
+    """argmax of perfect/(2*genome_len), strictly-positive only
+    (call.rs:422-450)."""
+    best, best_score = None, 0.0
+    for fid in range(dev.num_genomes):
+        glen = int(dev.genome_lens[fid])
+        if glen == 0:
+            continue
+        score = float(tallies[fid, 0]) / glen / 2.0
+        log.debug("genome %d: perfect=%d variant=%d unique=%d score=%.4f",
+                  fid, tallies[fid, 0], tallies[fid, 1], tallies[fid, 2], score)
+        if score > best_score:
+            best_score = score
+            best = fid
+    return best
+
+
+def call_sample_variants(
+    index: BronkoIndex,
+    dev: DeviceIndex,
+    cfg: CallConfig,
+    best: int,
+    pileup: np.ndarray,
+) -> tuple[list[VCFRecord], CallStats, dict[str, tuple]]:
+    stats = CallStats()
+    records: list[VCFRecord] = []
+    seq_pileups: dict[str, tuple] = {}
+    file_meta = index.files[best]
+    for sl in dev.slices_for_file(best):
+        seq_meta = file_meta.sequences[sl.seq_id]
+        sl_range = slice(sl.offset, sl.offset + sl.length)
+        fwd_depth = pileup[PLANE_DEPTH_FWD, sl_range]
+        rev_depth = pileup[PLANE_DEPTH_REV, sl_range]
+        fwd_cnt = pileup[PLANE_CNT_FWD, sl_range]
+        rev_cnt = pileup[PLANE_CNT_REV, sl_range]
+        seq_pileups[sl.name] = (fwd_depth, rev_depth)
+        noise = baseline_noise(fwd_depth, rev_depth)
+        records.extend(call_variants_for_seq(
+            sl.name, seq_meta.seq,
+            fwd_depth, rev_depth, fwd_cnt, rev_cnt, noise[:, 0],
+            k=cfg.kmer,
+            min_af=cfg.min_af,
+            filter_end_seq=not cfg.no_end_filter,
+            strand_filter=not cfg.no_strand_filter,
+            no_strand_balance_filter=cfg.no_strand_balance_filter,
+            strand_balance_ratio=cfg.strand_balance_ratio,
+            strand_odds_max=cfg.strand_odds_max,
+            n_per_strand=cfg.n_per_strand,
+            min_depth=cfg.min_depth,
+            min_variant_depth=cfg.min_variant_depth,
+            variant_multiplier=cfg.variant_multiplier,
+            stats=stats,
+        ))
+    log.info("Sample breadth of coverage: %s, depth of coverage: %s",
+             stats.breadth, stats.depth)
+    log.info("Called %d major variants, %d minor above maf = %s",
+             stats.num_major, stats.num_minor, cfg.min_af)
+    return records, stats, seq_pileups
+
+
+def _process_one(
+    display_path: str,
+    kmers: np.ndarray,
+    counts: np.ndarray,
+    cstats: CountStats,
+    index: BronkoIndex,
+    dev: DeviceIndex,
+    cfg: CallConfig,
+) -> tuple[SampleSummary, tuple[str, list[VCFRecord]]]:
+    t0 = time.time()
+    result = map_sample(kmers, counts, dev, cfg)
+    log.info("Mapped %d kmers in %.2fs", kmers.shape[0], time.time() - t0)
+
+    best = pick_best_genome(result.tallies, dev)
+    if best is None:
+        log.error("Unable to pick a best genome")
+        raise SystemExit(1)
+    n_perfect, n_variant, n_unique = (int(x) for x in result.tallies[best])
+    best_name = index.files[best].name
+    log.info("Selected a representative genome: %s", best_name)
+    n_unmapped = cstats.unique_counted_kmers - n_perfect - n_variant
+    log.info(
+        "Mapped %d/%d kmers perfectly (%d unique among refs), %d/%d had a variant, %d unmapped",
+        n_perfect, cstats.unique_counted_kmers, n_unique,
+        n_variant, cstats.unique_counted_kmers, n_unmapped,
+    )
+    if cstats.unique_counted_kmers and (n_variant + n_perfect) / cstats.unique_counted_kmers < 0.2:
+        log.warning(
+            "Percent of kmers found is very low for this reference, suggesting lack of a "
+            "representative reference, a bad sequencing run, contamination in sample, or some other issue"
+        )
+
+    records, stats, seq_pileups = call_sample_variants(index, dev, cfg, best, result.pileup)
+
+    if cfg.output_pileup:
+        write_pileup(cfg.output, display_path, index.files[best], seq_pileups)
+    write_vcf(cfg.output, display_path, records, index.files[best])
+
+    summary = SampleSummary(
+        display_path, best_name, stats, n_perfect, n_variant, n_unmapped
+    )
+    return summary, (display_path, records)
+
+
+def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[SampleSummary]:
+    import os
+
+    os.makedirs(cfg.output, exist_ok=True)
+    summaries: list[SampleSummary] = []
+    variant_info: list[tuple[str, list[VCFRecord]]] = []
+
+    for path in cfg.reads:
+        log.info("Processing %s", path)
+        kmers, counts, cstats = count_sample(path, cfg, index.k)
+        log.info("%d reads counted from %s", cstats.total_reads, path)
+        log.info(
+            "%d unique kmers above %d count, %d total unique kmers, %d total kmers (~%d basepairs)",
+            cstats.unique_counted_kmers, cfg.min_kmers, cstats.unique_kmers,
+            cstats.total_kmers, cstats.total_kmers * index.k,
+        )
+        summary, vinfo = _process_one(path, kmers, counts, cstats, index, dev, cfg)
+        summaries.append(summary)
+        variant_info.append(vinfo)
+
+    for r1, r2 in zip(cfg.first_pairs, cfg.second_pairs):
+        log.info("Processing paired reads %s, %s", r1, r2)
+        k1, c1, s1 = count_sample(r1, cfg, index.k)
+        k2, c2, s2 = count_sample(r2, cfg, index.k)
+        cstats = CountStats(
+            total_reads=s1.total_reads + s2.total_reads,
+            total_kmers=s1.total_kmers + s2.total_kmers,
+            unique_kmers=s1.unique_kmers + s2.unique_kmers,
+            unique_counted_kmers=s1.unique_counted_kmers + s2.unique_counted_kmers,
+        )
+        log.info("%d reads counted from %s", cstats.total_reads, r1)
+        kmers = np.concatenate([k1, k2])
+        counts = np.concatenate([c1, c2])
+        summary, vinfo = _process_one(r1, kmers, counts, cstats, index, dev, cfg)
+        summaries.append(summary)
+        variant_info.append(vinfo)
+
+    log.info("Printing overview")
+    write_overview(cfg.output, summaries)
+    log.info("All samples processed successfully")
+
+    if cfg.output_alignment:
+        log.info("Building alignment(s)")
+        write_alignments(cfg.output, summaries, variant_info, index.files, log)
+
+    log.info("bronko complete!")
+    return summaries

@@ -1,0 +1,159 @@
+"""Command-line interface: `bronko-tpu build` / `bronko-tpu call`.
+
+Flag names and defaults mirror the reference CLI (cli.rs:29-166) for drop-in
+compatibility; TPU-specific knobs (batch size, chunking) are additive.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from bronko_tpu import consts
+from bronko_tpu.config import BuildConfig, CallConfig, setup_logging
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-t", "--threads", type=int, default=4, help="Number of threads")
+    p.add_argument("--debug", action="store_true", help="Debug output")
+    p.add_argument("--verbose", action="store_true", help="Verbose output")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="bronko-tpu",
+        description="TPU-native ultra-rapid mapping-free viral variant calling",
+    )
+    sub = ap.add_subparsers(dest="mode", required=True)
+
+    b = sub.add_parser("build", help="Create a bronko index of viral references")
+    b.add_argument("-g", "--genomes", nargs="+", default=[],
+                   help="Genome files to be built into index (fasta/gzip)")
+    b.add_argument("-k", "--kmer-size", dest="kmer", type=int,
+                   default=consts.DEFAULT_KMER_SIZE, help="Kmer size")
+    b.add_argument("-o", "--output", default=consts.DEFAULT_INDEX_OUTPUT,
+                   help="Name of index file (.bkdb will be added)")
+    _add_common(b)
+
+    c = sub.add_parser("call", help="Perform rapid viral variant calling")
+    c.add_argument("-g", "--genomes", nargs="+", default=None,
+                   help="Genome fasta(.gz) files to use as references")
+    c.add_argument("-d", "--db", default=None, help="Use a prebuilt bronko db (.bkdb)")
+    c.add_argument("-r", "--reads", nargs="+", default=[],
+                   help="Input single-end reads (fastq/gzip)")
+    c.add_argument("-1", "--first-pairs", dest="first_pairs", nargs="+", default=[],
+                   help="First pairs for raw paired-end reads (fastq/gzip)")
+    c.add_argument("-2", "--second-pairs", dest="second_pairs", nargs="+", default=[],
+                   help="Second pairs for raw paired-end reads (fastq/gzip)")
+    c.add_argument("-k", "--kmer-size", dest="kmer", type=int,
+                   default=consts.DEFAULT_KMER_SIZE, help="Kmer size used for analysis")
+    c.add_argument("--min-kmers", type=int, default=consts.MIN_KMER_COUNT,
+                   help="Minimum times a kmer must occur in sequencing data to be used")
+    c.add_argument("--use-full-kmer", action="store_true",
+                   default=consts.DEFAULT_USE_FULL_KMER,
+                   help="Use the entire kmer length for variant positions")
+    c.add_argument("--n-fixed", type=int, default=consts.DEFAULT_N_FIXED,
+                   help="Number of fixed positions at each end of the kmer")
+    c.add_argument("--min-af", type=float, default=consts.DEFAULT_MIN_AF,
+                   help="Minimum minor allele frequency to be reported")
+    c.add_argument("--no-end-filter", action="store_true",
+                   default=consts.DEFAULT_NO_FILTER_ENDS,
+                   help="Do not filter variants from the ends of each segment")
+    c.add_argument("--no-strand-filter", action="store_true",
+                   default=consts.DEFAULT_NO_STRAND_FILTER,
+                   help="Do not use the SOR strand filter")
+    c.add_argument("--no-strand-balance-filter", action="store_true",
+                   default=consts.DEFAULT_NO_STRAND_BALANCE_FILTER,
+                   help="Allow extremely strand-unbalanced variants past the SOR check")
+    c.add_argument("--balance-ratio", dest="strand_balance_ratio", type=float,
+                   default=consts.DEFAULT_STRAND_BALANCE_RATIO,
+                   help="Max fraction of depth on one strand to call it unbalanced")
+    c.add_argument("--n-per-strand", type=int, default=consts.DEFAULT_N_KMERS_PER_STRAND,
+                   help="Min unique kmers per strand to call a variant")
+    c.add_argument("--strand_odds", dest="strand_odds_max", type=float,
+                   default=consts.DEFAULT_MAX_STRAND_ODDS,
+                   help="Maximum strand odds ratio to pass strand filtering")
+    c.add_argument("--min-depth", type=int, default=consts.DEFAULT_MIN_DEPTH,
+                   help="Minimum total depth to call a minor variant")
+    c.add_argument("--min-variant-depth", type=int, default=consts.MIN_KMER_COUNT,
+                   help="Minimum depth of a minor variant to be called")
+    c.add_argument("--noise-multiplier", dest="variant_multiplier", type=float,
+                   default=consts.DEFAULT_NOISE_MULTIPLIER,
+                   help="Required multiple above estimated baseline noise")
+    c.add_argument("-o", "--output", default=consts.DEFAULT_OUT_FOLDER,
+                   help="Folder to output all resulting files")
+    c.add_argument("--pileup", dest="output_pileup", action="store_true",
+                   default=consts.DEFAULT_TSV_PILEUP,
+                   help="Also output a tsv of the approximate pileup")
+    c.add_argument("--alignment", dest="output_alignment", action="store_true",
+                   default=consts.DEFAULT_ALIGNMENT,
+                   help="Output a multifasta alignment of all samples")
+    c.add_argument("--keep-kmer-info", dest="keep_kmer_counts", action="store_true",
+                   default=consts.DEFAULT_KEEP_KMER_INFO,
+                   help="Keep kmer count information")
+    c.add_argument("--batch-size", type=int, default=1 << 17,
+                   help="Device mapping batch size (TPU)")
+    _add_common(c)
+    return ap
+
+
+def run_build(cfg: BuildConfig) -> None:
+    from bronko_tpu.index.build import build_index
+    from bronko_tpu.index.store import save_index
+
+    cfg.validate()
+    index = build_index(cfg.kmer, cfg.genomes)
+    out = cfg.output + ".bkdb"
+    import logging
+
+    logging.getLogger("bronko").info("Saving index to %s", out)
+    save_index(out, index)
+
+
+def run_call_cmd(cfg: CallConfig) -> None:
+    import logging
+
+    from bronko_tpu.call.engine import run_call
+    from bronko_tpu.index.build import build_index
+    from bronko_tpu.index.layout import build_device_index
+    from bronko_tpu.index.store import load_index
+
+    log = logging.getLogger("bronko")
+    cfg.validate()
+    if cfg.genomes:
+        log.info("Creating bronko index from provided reference genomes")
+        index = build_index(cfg.kmer, cfg.genomes)
+    else:
+        log.info("Reading in provided bronko index")
+        index = load_index(cfg.db, expect_k=cfg.kmer)
+    dev = build_device_index(index)
+    run_call(cfg, index, dev)
+
+
+def main(argv: list[str] | None = None) -> int:
+    print(f"bronko-tpu v{consts.BRONKO_TPU_VERSION}")
+    print("TPU-native rebuild of the bronko viral variant caller\n")
+    t0 = time.time()
+    args = build_parser().parse_args(argv)
+    setup_logging(args.debug, args.verbose)
+
+    if args.mode == "build":
+        cfg = BuildConfig(
+            genomes=args.genomes, kmer=args.kmer, output=args.output,
+            threads=args.threads, debug=args.debug, verbose=args.verbose,
+        )
+        run_build(cfg)
+    else:
+        fields = {f: getattr(args, f) for f in CallConfig.__dataclass_fields__
+                  if hasattr(args, f)}
+        cfg = CallConfig(**fields)
+        run_call_cmd(cfg)
+
+    print(f"\nbronko-tpu v{consts.BRONKO_TPU_VERSION} finished in "
+          f"{time.time() - t0:.1f}s", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

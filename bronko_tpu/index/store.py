@@ -1,0 +1,74 @@
+""".bkdb persistence for the TPU index.
+
+The reference serializes its hashmap with bincode (build.rs:122-143); our
+.bkdb is an NPZ container of the dense CSR arrays plus JSON metadata — it
+deserializes straight into device-puttable buffers with no decode step.
+Loaded with the same k-consistency check as call.rs:193-197.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zlib
+
+import numpy as np
+
+from bronko_tpu.index.model import BronkoIndex, FileMeta, SeqMeta
+
+MAGIC = "bronko-tpu-bkdb-v1"
+
+
+def save_index(path: str, index: BronkoIndex) -> None:
+    meta = {
+        "magic": MAGIC,
+        "k": index.k,
+        "files": [
+            {"name": f.name, "seq_names": [s.name for s in f.sequences],
+             "seq_lens": [s.length for s in f.sequences]}
+            for f in index.files
+        ],
+    }
+    seq_blob = zlib.compress(b"".join(s.seq for f in index.files for s in f.sequences), 6)
+    out = path if path.endswith(".bkdb") else path + ".bkdb"
+    with open(out, "wb") as fh:
+        np.savez(
+            fh,
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+            keys=index.keys,
+            offsets=index.offsets,
+            post_loc=index.post_loc,
+            post_meta=index.post_meta,
+            seq_blob=np.frombuffer(seq_blob, dtype=np.uint8),
+        )
+
+
+def load_index(path: str, expect_k: int | None = None) -> BronkoIndex:
+    with open(path, "rb") as fh:
+        data = np.load(io.BytesIO(fh.read()), allow_pickle=False)
+    meta = json.loads(bytes(data["meta"]).decode())
+    if meta.get("magic") != MAGIC:
+        raise ValueError(f"{path} is not a bronko-tpu .bkdb file")
+    k = int(meta["k"])
+    if expect_k is not None and k != expect_k:
+        raise ValueError(
+            f"Database k is not the same as provided, please set -k to {k} "
+            f"or build a new index"
+        )
+    seqs = zlib.decompress(bytes(data["seq_blob"]))
+    files: list[FileMeta] = []
+    pos = 0
+    for f in meta["files"]:
+        sequences = []
+        for name, length in zip(f["seq_names"], f["seq_lens"]):
+            sequences.append(SeqMeta(name, length, seqs[pos:pos + length]))
+            pos += length
+        files.append(FileMeta(f["name"], sequences))
+    return BronkoIndex(
+        k=k,
+        keys=data["keys"],
+        offsets=data["offsets"],
+        post_loc=data["post_loc"],
+        post_meta=data["post_meta"],
+        files=files,
+    )

@@ -1,0 +1,72 @@
+"""FASTQ reading: host-side chunked parser feeding the device counter.
+
+Parses gzip or plain FASTQ into padded (R, L) base-code matrices
+(0..3 = ACGT upper/lower, 4 = anything else) entirely with NumPy — the
+per-read Python loop is replaced by one flat scatter. A C++ reader can
+slot in behind the same iterator interface later; this path already
+sustains hundreds of MB/s of parsed bases per core.
+"""
+
+from __future__ import annotations
+
+import gzip
+from collections.abc import Iterator
+
+import numpy as np
+
+# ACGT/acgt -> 0..3, everything else (incl. N, pad) -> 4
+CODES = np.full(256, 4, dtype=np.uint8)
+for _c, _b in ((b"Aa", 0), (b"Cc", 1), (b"Gg", 2), (b"Tt", 3)):
+    CODES[_c[0]] = _b
+    CODES[_c[1]] = _b
+
+
+def _open(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def _encode_reads(seqs: list[bytes], pad_to_multiple: int = 8):
+    """Pack a list of read sequences into a padded (R, L) code matrix."""
+    n = len(seqs)
+    lengths = np.fromiter((len(s) for s in seqs), dtype=np.int32, count=n)
+    lmax = int(lengths.max()) if n else 0
+    lmax = max(lmax, 1)
+    if pad_to_multiple > 1:
+        lmax = -(-lmax // pad_to_multiple) * pad_to_multiple
+    arr = np.full((n, lmax), 4, dtype=np.uint8)
+    flat = np.frombuffer(b"".join(seqs), dtype=np.uint8)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    starts = np.concatenate([[0], np.cumsum(lengths[:-1], dtype=np.int64)])
+    cols = np.arange(flat.shape[0], dtype=np.int64) - np.repeat(starts, lengths)
+    arr[rows, cols] = CODES[flat]
+    return arr, lengths
+
+
+def read_fastq_chunks(
+    path: str, chunk_reads: int = 262_144
+) -> Iterator[tuple[np.ndarray, np.ndarray, int]]:
+    """Yield (codes, lengths, n_reads) chunks from a FASTQ file.
+
+    Reads records as 4-line groups (the common, KMC-compatible layout).
+    """
+    seqs: list[bytes] = []
+    with _open(path) as fh:
+        state = 0  # 0: header, 1: seq, 2: plus, 3: qual
+        for raw in fh:
+            if state == 1:
+                seqs.append(raw.rstrip(b"\r\n"))
+                if len(seqs) >= chunk_reads:
+                    codes, lengths = _encode_reads(seqs)
+                    yield codes, lengths, len(seqs)
+                    seqs = []
+            state = (state + 1) & 3
+    if seqs:
+        codes, lengths = _encode_reads(seqs)
+        yield codes, lengths, len(seqs)
+
+
+def count_fastq_reads(path: str) -> int:
+    with _open(path) as fh:
+        return sum(1 for _ in fh) // 4

@@ -1,0 +1,145 @@
+"""Device k-mer mapper: probe the bucket index and scatter pileups.
+
+TPU-first redesign of the reference hot loop (call.rs:1257-1434). The
+reference walks a hashmap per k-mer per bucket and mutates DashMap pileups
+under sharded locks; here the whole batch is one data-parallel tensor
+program:
+
+  1. canonicalize the batch, compute per-position bases and bucket ids;
+  2. binary-search all (B, J) bucket queries against the sorted key array;
+  3. expand each hit's CSR posting range to a static width E (max bucket
+     size, computed at index load) with a validity mask;
+  4. compute every posting's scatter target = (strand, semantic, global
+     position, base) as pure functions of (posting meta, read k-mer);
+  5. one scatter-add (+1 per distinct k-mer, the "counts" semantic,
+     call.rs:1337-1339) and one scatter-max (KMC count, the depth-estimate
+     semantic, call.rs:1342-1344) into the flat pileup tensor;
+  6. per-genome tallies (perfect / variant / unique-perfect k-mers,
+     call.rs:1390-1418) via a (B, G) hit-count matrix.
+
+Scatter semantics notes (verified against the reference, see
+docs/mapping_semantics.md):
+  * the recorded genome position is location + idx for BOTH canonical
+    orientations (call.rs:1334, 1361);
+  * recorded base: read-canonical base at idx when the stored posting is
+    non-canonical; complement of the read-canonical base at k-1-idx when it
+    is canonical (call.rs:1333, 1360);
+  * strand: forward iff posting.canonical == read.is_rc (call.rs:1331-1384);
+  * per-genome hit counts are per POSTING, not per bucket, so duplicated
+    k-mers within a genome can push a k-mer out of "perfect" (call.rs:1316).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bronko_tpu.ops.buckets import assign_buckets
+from bronko_tpu.ops.codec import canonical
+
+# pileup tensor layout: (n_planes=4, T+1, 4 bases)
+# plane 0: depth fwd, 1: depth rev, 2: counts fwd, 3: counts rev
+PLANE_DEPTH_FWD = 0
+PLANE_DEPTH_REV = 1
+PLANE_CNT_FWD = 2
+PLANE_CNT_REV = 3
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    k: int
+    positions: tuple[int, ...]  # filtered wildcard positions (static)
+    max_bucket: int             # E: static posting-expansion width
+    num_genomes: int            # G
+    total_len: int              # T: sum of all sequence lengths (all genomes)
+
+
+def map_batch(
+    kmers,        # (B,) uint64 non-canonical read k-mers
+    counts,       # (B,) int32 KMC-equivalent counts; 0 marks padding
+    keys,         # (U,) uint64 sorted bucket ids
+    offsets,      # (U+1,) int32 CSR
+    gpos,         # (P,) int32 global scatter position (seq offset + loc + idx)
+    pmeta,        # (P,) int32 packed idx(5b) | canonical(1b) | file_id(rest)
+    pileup,       # (4, T+1, 4) int32; row T is the dump row for masked lanes
+    tallies,      # (G, 3) int32 [perfect, variant, unique_perfect]
+    *,
+    cfg: MapConfig,
+):
+    """One jit-able mapping step; returns (pileup, tallies) updated."""
+    k = cfg.k
+    B = kmers.shape[0]
+    J = len(cfg.positions)
+    E = cfg.max_bucket
+    U = keys.shape[0]
+    T = cfg.total_len
+
+    valid_kmer = counts > 0
+    canon, is_rc = canonical(kmers, k, jnp)
+    shifts = jnp.uint64(2) * jnp.arange(k - 1, -1, -1, dtype=jnp.uint64)
+    bases = ((canon[:, None] >> shifts) & jnp.uint64(3)).astype(jnp.int32)  # (B,k)
+    buckets = assign_buckets(canon, k, jnp)  # (B,k)
+    q = buckets[:, np.asarray(cfg.positions)]  # (B,J)
+
+    ii = jnp.searchsorted(keys, q)                       # (B,J)
+    ii_c = jnp.minimum(ii, U - 1).astype(jnp.int32)
+    hit = (keys[ii_c] == q) & valid_kmer[:, None]        # (B,J)
+
+    start = offsets[ii_c]
+    end = offsets[ii_c + 1]
+    lane = jnp.arange(E, dtype=jnp.int32)
+    pidx = start[..., None] + lane                       # (B,J,E)
+    pvalid = (pidx < end[..., None]) & hit[..., None]
+    pidx_s = jnp.where(pvalid, pidx, 0)
+
+    g = gpos[pidx_s]                                     # (B,J,E) int32
+    m = pmeta[pidx_s]
+    idx = m & 31
+    is_canon = (m >> 5) & 1
+    fid = m >> 6
+
+    flat_idx = idx.reshape(B, J * E)
+    base_nc = jnp.take_along_axis(bases, flat_idx, axis=1).reshape(B, J, E)
+    base_c = 3 - jnp.take_along_axis(bases, (k - 1) - flat_idx, axis=1).reshape(B, J, E)
+    base = jnp.where(is_canon == 1, base_c, base_nc)
+
+    fwd = (is_canon == is_rc[:, None, None].astype(jnp.int32))
+    pos = jnp.where(pvalid, g, T)                        # dump row for masked
+    cell = pos * 4 + base                                # (B,J,E) in [0, 4T+4)
+
+    n_bcast = jnp.broadcast_to(counts[:, None, None], cell.shape)
+    row_len = (T + 1) * 4
+    cell_f = cell.reshape(-1)
+    fwd_f = fwd.reshape(-1)
+    n_f = n_bcast.reshape(-1)
+
+    flat = pileup.reshape(4 * row_len)
+    depth_target = jnp.where(fwd_f, PLANE_DEPTH_FWD * row_len, PLANE_DEPTH_REV * row_len) + cell_f
+    cnt_target = jnp.where(fwd_f, PLANE_CNT_FWD * row_len, PLANE_CNT_REV * row_len) + cell_f
+    flat = flat.at[depth_target].max(n_f)
+    flat = flat.at[cnt_target].add(1)
+    pileup = flat.reshape(4, T + 1, 4)
+
+    # per-genome tallies
+    nb = J
+    b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None, None], cell.shape)
+    hits = jnp.zeros((B, cfg.num_genomes), jnp.int32).at[
+        b_idx.reshape(-1), fid.reshape(-1)
+    ].add(pvalid.reshape(-1).astype(jnp.int32), mode="drop")
+    perfect = (hits == nb) & valid_kmer[:, None]
+    variant = (hits > 0) & (hits != nb) & valid_kmer[:, None]
+    n_perfect = jnp.sum(perfect, axis=1)
+    unique = perfect & (n_perfect[:, None] == 1)
+    batch_tallies = jnp.stack(
+        [perfect.sum(0), variant.sum(0), unique.sum(0)], axis=1
+    ).astype(jnp.int32)
+    return pileup, tallies + batch_tallies
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def map_batch_jit(kmers, counts, keys, offsets, gpos, pmeta, pileup, tallies, cfg: MapConfig):
+    return map_batch(kmers, counts, keys, offsets, gpos, pmeta, pileup, tallies, cfg=cfg)

@@ -1,0 +1,78 @@
+"""Device k-mer counter vs a Python Counter oracle (KMC -b -ci -cs parity)."""
+
+from collections import Counter
+
+import numpy as np
+
+from bronko_tpu.io.fastq import CODES, _encode_reads
+from bronko_tpu.ops.count import KmerCounter
+from tests.oracle.lcb_oracle import kmer_to_u64
+
+
+def oracle_count(reads: list[bytes], k: int):
+    counter = Counter()
+    total = 0
+    for r in reads:
+        for i in range(max(0, len(r) - k + 1)):
+            w = r[i:i + k]
+            if all(chr(c) in "ACGTacgt" for c in w):
+                counter[kmer_to_u64(w)] += 1
+                total += 1
+    return counter, total
+
+
+def random_reads(rng, n, lmin=30, lmax=80, with_n=True):
+    reads = []
+    alphabet = b"ACGT" + (b"N" if with_n else b"")
+    for _ in range(n):
+        ln = int(rng.integers(lmin, lmax + 1))
+        # skew towards duplicate reads so counts exceed 1
+        if reads and rng.random() < 0.5:
+            reads.append(reads[rng.integers(len(reads))])
+        else:
+            reads.append(bytes(rng.choice(np.frombuffer(alphabet, np.uint8),
+                                          size=ln, p=None)))
+    return reads
+
+
+def test_counter_matches_oracle():
+    rng = np.random.default_rng(11)
+    k = 21
+    reads = random_reads(rng, 300)
+    expected, total = oracle_count(reads, k)
+
+    counter = KmerCounter(k, min_count=3)
+    # split into chunks to exercise the host merge
+    for lo in range(0, len(reads), 100):
+        chunk = reads[lo:lo + 100]
+        codes, lengths = _encode_reads(chunk)
+        counter.add_chunk(codes, lengths, len(chunk))
+    kmers, counts = counter.finalize()
+
+    assert counter.stats.total_reads == len(reads)
+    assert counter.stats.total_kmers == total
+    assert counter.stats.unique_kmers == len(expected)
+    exp_kept = {km: c for km, c in expected.items() if c >= 3}
+    assert counter.stats.unique_counted_kmers == len(exp_kept)
+    got = dict(zip(kmers.tolist(), counts.tolist()))
+    assert got == exp_kept
+
+
+def test_counter_count_cap():
+    k = 15
+    read = b"A" * 40
+    counter = KmerCounter(k, min_count=1, count_cap=10)
+    codes, lengths = _encode_reads([read] * 5)
+    counter.add_chunk(codes, lengths, 5)
+    kmers, counts = counter.finalize()
+    assert kmers.tolist() == [0]
+    assert counts.tolist() == [10]  # capped (26 windows * 5 reads -> 10)
+
+
+def test_encode_reads_layout():
+    codes, lengths = _encode_reads([b"ACGTN", b"tt"])
+    assert lengths.tolist() == [5, 2]
+    assert codes[0, :5].tolist() == [0, 1, 2, 3, 4]
+    assert codes[1, :2].tolist() == [3, 3]
+    assert (codes[1, 2:] == 4).all()
+    assert CODES[ord("G")] == 2

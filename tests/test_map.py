@@ -1,0 +1,124 @@
+"""Device mapper vs scalar oracle: pileups and tallies must match exactly."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from bronko_tpu.index.build import build_index
+from bronko_tpu.index.layout import build_device_index
+from bronko_tpu.index.model import BronkoIndex
+from bronko_tpu.ops.map import (
+    PLANE_CNT_FWD, PLANE_CNT_REV, PLANE_DEPTH_FWD, PLANE_DEPTH_REV, map_batch_jit,
+)
+from tests.oracle.lcb_oracle import kmer_to_u64, reverse_complement_u64
+from tests.oracle.map_oracle import build_oracle_index, map_kmers_oracle
+
+
+def random_genome(rng, n):
+    return bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=n))
+
+
+def make_index(tmp_path, files, k=21):
+    paths = []
+    for fname, seqs in files:
+        p = tmp_path / f"{fname}.fasta"
+        with open(p, "w") as fh:
+            for sname, seq in seqs:
+                fh.write(f">{sname}\n{seq.decode()}\n")
+        paths.append(str(p))
+    return build_index(k, paths)
+
+
+def run_device_map(index: BronkoIndex, kmer_counts, n_fixed=2, use_full_kmer=False, batch=64):
+    dev = build_device_index(index)
+    mcfg = dev.map_config(n_fixed, use_full_kmer)
+    T = dev.total_len
+    pileup = jnp.zeros((4, T + 1, 4), jnp.int32)
+    tallies = jnp.zeros((dev.num_genomes, 3), jnp.int32)
+    kmers = np.asarray([kc[0] for kc in kmer_counts], np.uint64)
+    counts = np.asarray([kc[1] for kc in kmer_counts], np.int32)
+    for lo in range(0, len(kmers), batch):
+        kb = kmers[lo:lo + batch]
+        cb = counts[lo:lo + batch]
+        if kb.shape[0] < batch:
+            kb = np.pad(kb, (0, batch - kb.shape[0]))
+            cb = np.pad(cb, (0, batch - cb.shape[0]))
+        pileup, tallies = map_batch_jit(
+            jnp.asarray(kb), jnp.asarray(cb), dev.keys, dev.offsets,
+            dev.gpos, dev.pmeta, pileup, tallies, mcfg)
+    return dev, np.asarray(pileup), np.asarray(tallies)
+
+
+def sample_kmers(rng, files, k, n_exact=200, n_mut=100, n_junk=20):
+    """Draw genome k-mers (some reverse-complemented), mutated ones, junk."""
+    out = {}
+    seqs = [seq for _, fseqs in files for _, seq in fseqs]
+    for _ in range(n_exact + n_mut):
+        seq = seqs[rng.integers(len(seqs))]
+        i = int(rng.integers(0, len(seq) - k + 1))
+        km = kmer_to_u64(seq[i:i + k])
+        if len(out) >= n_exact or rng.random() < 0.4:
+            # mutate one position
+            p = int(rng.integers(0, k))
+            shift = 2 * (k - 1 - p)
+            old = (km >> shift) & 3
+            km = (km & ~(3 << shift)) | (int((old + 1 + rng.integers(3)) % 4) << shift)
+        if rng.random() < 0.5:
+            km = reverse_complement_u64(km, k)
+        out[km] = int(rng.integers(3, 200))
+    for _ in range(n_junk):
+        out[int(rng.integers(0, 1 << (2 * k), dtype=np.uint64))] = int(rng.integers(3, 50))
+    return list(out.items())
+
+
+@pytest.mark.parametrize("n_files,seqs_per_file", [(1, 1), (3, 2)])
+def test_map_matches_oracle(tmp_path, n_files, seqs_per_file):
+    rng = np.random.default_rng(42 + n_files)
+    k = 21
+    files = []
+    for f in range(n_files):
+        seqs = [(f"seq{f}_{s}", random_genome(rng, 300 + 40 * s))
+                for s in range(seqs_per_file)]
+        files.append((f"genome{f}", seqs))
+
+    index = make_index(tmp_path, files, k)
+    oracle_idx = build_oracle_index(k, files)
+    kmer_counts = sample_kmers(rng, files, k)
+
+    o_maps, o_tallies = map_kmers_oracle(kmer_counts, oracle_idx)
+    dev, pileup, tallies = run_device_map(index, kmer_counts)
+
+    # tallies
+    for fid in range(n_files):
+        exp = o_tallies.get(fid, [0, 0, 0])
+        assert tallies[fid].tolist() == exp, (fid, tallies[fid], exp)
+
+    # pileups per sequence slice
+    for sl in dev.seq_slices:
+        sname = files[sl.file_id][1][sl.seq_id][0]
+        om = o_maps[sl.file_id][sname]
+        rng_ = slice(sl.offset, sl.offset + sl.length)
+        assert np.array_equal(pileup[PLANE_DEPTH_FWD, rng_], om["fwd"]), (sname, "fwd")
+        assert np.array_equal(pileup[PLANE_DEPTH_REV, rng_], om["rev"]), (sname, "rev")
+        assert np.array_equal(pileup[PLANE_CNT_FWD, rng_], om["fwd_cnt"]), (sname, "fwd_cnt")
+        assert np.array_equal(pileup[PLANE_CNT_REV, rng_], om["rev_cnt"]), (sname, "rev_cnt")
+    # dump row should have seen only masked lanes
+    assert pileup[:, :-1].sum() > 0
+
+
+def test_map_use_full_kmer(tmp_path):
+    rng = np.random.default_rng(7)
+    k = 15
+    files = [("g", [("s", random_genome(rng, 200))])]
+    index = make_index(tmp_path, files, k)
+    oracle_idx = build_oracle_index(k, files)
+    kmer_counts = sample_kmers(rng, files, k, n_exact=50, n_mut=30, n_junk=5)
+    o_maps, o_tallies = map_kmers_oracle(kmer_counts, oracle_idx, use_full_kmer=True)
+    dev, pileup, tallies = run_device_map(index, kmer_counts, use_full_kmer=True)
+    assert tallies[0].tolist() == o_tallies.get(0, [0, 0, 0])
+    om = o_maps[0]["s"]
+    sl = dev.seq_slices[0]
+    rng_ = slice(sl.offset, sl.offset + sl.length)
+    assert np.array_equal(pileup[PLANE_DEPTH_FWD, rng_], om["fwd"])
+    assert np.array_equal(pileup[PLANE_CNT_REV, rng_], om["rev_cnt"])
