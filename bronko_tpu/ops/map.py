@@ -58,7 +58,7 @@ class MapConfig:
     total_len: int              # T: sum of all sequence lengths (all genomes)
 
 
-def map_batch(
+def probe_scatter(
     kmers,        # (B,) uint64 non-canonical read k-mers
     counts,       # (B,) int32 KMC-equivalent counts; 0 marks padding
     keys,         # (U,) uint64 sorted bucket ids
@@ -66,11 +66,15 @@ def map_batch(
     gpos,         # (P,) int32 global scatter position (seq offset + loc + idx)
     pmeta,        # (P,) int32 packed idx(5b) | canonical(1b) | file_id(rest)
     pileup,       # (4, T+1, 4) int32; row T is the dump row for masked lanes
-    tallies,      # (G, 3) int32 [perfect, variant, unique_perfect]
     *,
     cfg: MapConfig,
 ):
-    """One jit-able mapping step; returns (pileup, tallies) updated."""
+    """Probe + pileup scatter for one batch against one index (shard).
+
+    Returns (pileup, hits) where hits is the (B, G) per-kmer per-genome
+    posting-hit count — in the genome-sharded pipeline this is psum'ed over
+    the 'genome' axis before classification.
+    """
     k = cfg.k
     B = kmers.shape[0]
     J = len(cfg.positions)
@@ -124,20 +128,38 @@ def map_batch(
     flat = flat.at[cnt_target].add(1)
     pileup = flat.reshape(4, T + 1, 4)
 
-    # per-genome tallies
-    nb = J
+    # per-(kmer, genome) posting-hit counts
     b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None, None], cell.shape)
     hits = jnp.zeros((B, cfg.num_genomes), jnp.int32).at[
         b_idx.reshape(-1), fid.reshape(-1)
     ].add(pvalid.reshape(-1).astype(jnp.int32), mode="drop")
+    return pileup, hits
+
+
+def classify_tallies(hits, valid_kmer, nb: int):
+    """Perfect / variant / unique-perfect classification (call.rs:1390-1418).
+
+    hits must be the GLOBAL per-genome posting count for each k-mer (psum'ed
+    over genome shards if the index is sharded). Duplicate postings within a
+    genome can push hits past nb — then the k-mer counts as 'variant', same
+    as the reference.
+    """
     perfect = (hits == nb) & valid_kmer[:, None]
     variant = (hits > 0) & (hits != nb) & valid_kmer[:, None]
     n_perfect = jnp.sum(perfect, axis=1)
     unique = perfect & (n_perfect[:, None] == 1)
-    batch_tallies = jnp.stack(
+    return jnp.stack(
         [perfect.sum(0), variant.sum(0), unique.sum(0)], axis=1
     ).astype(jnp.int32)
-    return pileup, tallies + batch_tallies
+
+
+def map_batch(kmers, counts, keys, offsets, gpos, pmeta, pileup, tallies, *, cfg: MapConfig):
+    """Single-shard mapping step; returns (pileup, tallies) updated."""
+    pileup, hits = probe_scatter(
+        kmers, counts, keys, offsets, gpos, pmeta, pileup, cfg=cfg
+    )
+    batch = classify_tallies(hits, counts > 0, len(cfg.positions))
+    return pileup, tallies + batch
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

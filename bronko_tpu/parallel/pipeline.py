@@ -1,0 +1,213 @@
+"""Sharded mapping pipeline over a ('data', 'genome') mesh.
+
+Parallelism design (TPU-first, not a translation of the reference's
+rayon/DashMap threading):
+
+  * 'data' axis — the unique-k-mer batch is sharded; every device probes its
+    slice against its genome shard. Count pileup planes merge with psum,
+    depth-estimate planes with pmax (max-of-KMC-count semantics,
+    call.rs:1342), per-genome tallies with psum — all riding ICI.
+  * 'genome' axis — the posting space is range-partitioned by global pileup
+    position (whole genomes per shard), scaling "hundreds of strains" past
+    one chip's HBM. Queries are replicated across this axis; per-(kmer,
+    genome) hit counts psum over 'genome' BEFORE the perfect/variant/unique
+    classification, which keeps the classification exact even when one
+    genome's postings land in one shard only (they always do — sharding is
+    at file granularity).
+
+All shard arrays are padded to common static shapes (sentinel keys never
+match; empty CSR rows produce zero postings), so one jit covers every shard.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bronko_tpu.index.layout import DeviceIndex, SeqSlice
+from bronko_tpu.index.model import BronkoIndex
+from bronko_tpu.ops.map import MapConfig, classify_tallies, probe_scatter
+
+KEY_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+@dataclass
+class ShardedIndex:
+    """Host container of per-genome-shard index arrays, padded to common shapes."""
+    k: int
+    keys: np.ndarray      # (S, U_max) uint64, sentinel-padded
+    offsets: np.ndarray   # (S, U_max+1) int32
+    gpos: np.ndarray      # (S, P_max) int32, local to the shard's pileup space
+    pmeta: np.ndarray     # (S, P_max) int32 (file_id stays global)
+    shard_len: np.ndarray  # (S,) int64 true pileup length per shard
+    t_pad: int            # padded per-shard pileup length
+    num_genomes: int
+    max_bucket: int
+    shard_files: list[list[int]]   # file ids per shard
+    seq_slices: list[SeqSlice]     # offsets local to shard pileup space
+    genome_lens: np.ndarray
+
+    def map_config(self, n_fixed: int, use_full_kmer: bool) -> MapConfig:
+        from bronko_tpu.ops.buckets import filtered_bucket_positions
+
+        return MapConfig(
+            k=self.k,
+            positions=tuple(filtered_bucket_positions(self.k, n_fixed, use_full_kmer)),
+            max_bucket=self.max_bucket,
+            num_genomes=self.num_genomes,
+            total_len=self.t_pad,
+        )
+
+
+def split_index(index: BronkoIndex, n_shards: int) -> ShardedIndex:
+    """Range-partition the index into n_shards genome shards (whole files,
+    greedy size-balanced, preserving file order within a shard)."""
+    G = len(index.files)
+    sizes = [(f.total_len, fid) for fid, f in enumerate(index.files)]
+    shard_files: list[list[int]] = [[] for _ in range(n_shards)]
+    loads = [0] * n_shards
+    for size, fid in sorted(sizes, reverse=True):
+        s = int(np.argmin(loads))
+        shard_files[s].append(fid)
+        loads[s] += size
+    for files in shard_files:
+        files.sort()
+
+    # global -> (shard, local offset) per (file, seq)
+    file_shard = {}
+    seq_slices: list[SeqSlice] = []
+    shard_cursor = [0] * n_shards
+    local_off = {}
+    for s, files in enumerate(shard_files):
+        for fid in files:
+            file_shard[fid] = s
+            for sid, seq in enumerate(index.files[fid].sequences):
+                local_off[(fid, sid)] = (s, shard_cursor[s])
+                seq_slices.append(SeqSlice(fid, sid, seq.name, shard_cursor[s], seq.length))
+                shard_cursor[s] += seq.length
+    t_pad = max(shard_cursor) if shard_cursor else 0
+
+    from bronko_tpu.index.model import (
+        CANON_SHIFT, FILE_MASK, FILE_SHIFT, IDX_MASK, SEQ_MASK, SEQ_SHIFT,
+    )
+
+    meta = index.post_meta
+    p_idx = (meta & IDX_MASK).astype(np.int64)
+    p_seq = ((meta >> SEQ_SHIFT) & SEQ_MASK).astype(np.int64)
+    p_fid = ((meta >> FILE_SHIFT) & FILE_MASK).astype(np.int64)
+    p_can = ((meta >> CANON_SHIFT) & 1).astype(np.int64)
+
+    # expand per-posting bucket keys from CSR
+    nposts = np.diff(index.offsets)
+    post_keys = np.repeat(index.keys, nposts)
+    post_shard = np.asarray([file_shard[f] for f in range(G)], np.int64)[p_fid] if meta.size else np.zeros(0, np.int64)
+
+    loc_off = np.zeros(meta.shape[0], np.int64)
+    if meta.size:
+        # local offset lookup per posting
+        max_seq = int(p_seq.max()) + 1
+        table = np.zeros((G, max_seq), np.int64)
+        for (fid, sid), (s, off) in local_off.items():
+            if sid < max_seq:
+                table[fid, sid] = off
+        loc_off = table[p_fid, p_seq]
+
+    shard_arrays = []
+    U_max = P_max = 1
+    for s in range(n_shards):
+        sel = post_shard == s
+        skeys = post_keys[sel]
+        order = np.argsort(skeys, kind="stable")
+        skeys = skeys[order]
+        sgpos = (loc_off[sel] + index.post_loc[sel].astype(np.int64) + p_idx[sel])[order].astype(np.int32)
+        spmeta = (p_idx[sel] | (p_can[sel] << 5) | (p_fid[sel] << 6))[order].astype(np.int32)
+        ukeys, start = np.unique(skeys, return_index=True)
+        soff = np.concatenate([start, [skeys.shape[0]]]).astype(np.int32)
+        shard_arrays.append((ukeys, soff, sgpos, spmeta))
+        U_max = max(U_max, ukeys.shape[0])
+        P_max = max(P_max, sgpos.shape[0])
+
+    keys = np.full((n_shards, U_max), KEY_SENTINEL, np.uint64)
+    offsets = np.zeros((n_shards, U_max + 1), np.int32)
+    gpos = np.zeros((n_shards, P_max), np.int32)
+    pmeta = np.zeros((n_shards, P_max), np.int32)
+    max_bucket = 1
+    for s, (ukeys, soff, sgpos, spmeta) in enumerate(shard_arrays):
+        u = ukeys.shape[0]
+        keys[s, :u] = ukeys
+        offsets[s, :u + 1] = soff
+        offsets[s, u + 1:] = soff[-1] if u else 0
+        gpos[s, :sgpos.shape[0]] = sgpos
+        pmeta[s, :spmeta.shape[0]] = spmeta
+        if u:
+            max_bucket = max(max_bucket, int(np.max(np.diff(soff[:u + 1]))))
+
+    return ShardedIndex(
+        k=index.k,
+        keys=keys, offsets=offsets, gpos=gpos, pmeta=pmeta,
+        shard_len=np.asarray(shard_cursor, np.int64),
+        t_pad=t_pad,
+        num_genomes=G,
+        max_bucket=max_bucket,
+        shard_files=shard_files,
+        seq_slices=seq_slices,
+        genome_lens=np.asarray([f.total_len for f in index.files], np.int64),
+    )
+
+
+def make_sharded_map_step(mesh: Mesh, cfg: MapConfig):
+    """Build the jitted SPMD mapping step over mesh ('data', 'genome').
+
+    Returns step(kmers, counts, keys, offsets, gpos, pmeta, pileup, tallies)
+    where pileup is (D, S, 4, T+1, 4) sharded (data, genome) and tallies is
+    (D, G, 3) sharded (data,). kmers/counts are (B,) sharded over data.
+    """
+    nb = len(cfg.positions)
+
+    def local_step(kmers, counts, keys, offsets, gpos, pmeta, pileup, tallies):
+        # local blocks: kmers (B/D,), keys (1, U), pileup (1, 1, 4, T+1, 4)
+        pl, hits = probe_scatter(
+            kmers, counts, keys[0], offsets[0], gpos[0], pmeta[0],
+            pileup[0, 0], cfg=cfg,
+        )
+        hits = jax.lax.psum(hits, "genome")
+        batch = classify_tallies(hits, counts > 0, nb)
+        # tallies identical across 'genome'; keep one copy per data shard
+        return pl[None, None], tallies + batch[None]
+
+    return jax.jit(jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P("data"), P("data"),
+            P("genome", None), P("genome", None), P("genome", None), P("genome", None),
+            P("data", "genome"), P("data", None, None),
+        ),
+        out_specs=(P("data", "genome"), P("data", None, None)),
+        check_vma=False,
+    ))
+
+
+def make_merge_step(mesh: Mesh):
+    """Merge per-data-shard partial pileups: depth planes pmax, count planes
+    psum, tallies psum — the collective form of call.rs:1420-1431."""
+
+    def local_merge(pileup, tallies):
+        pl = pileup[0, 0]
+        depth = jax.lax.pmax(pl[:2], "data")
+        cnt = jax.lax.psum(pl[2:], "data")
+        tl = jax.lax.psum(tallies[0], "data")
+        return jnp.concatenate([depth, cnt])[None, None], tl[None]
+
+    return jax.jit(jax.shard_map(
+        local_merge,
+        mesh=mesh,
+        in_specs=(P("data", "genome"), P("data", None, None)),
+        out_specs=(P(None, "genome"), P(None, None, None)),
+        check_vma=False,
+    ))

@@ -1,0 +1,104 @@
+"""End-to-end engine tests on synthetic data (small shapes, CPU-fast)."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from bronko_tpu.call.engine import run_call
+from bronko_tpu.config import CallConfig
+from bronko_tpu.index.build import build_index
+from bronko_tpu.index.layout import build_device_index
+from bronko_tpu.index.store import load_index, save_index
+from tests.make_synthetic import make_genome, make_sample, write_fasta, write_fastq
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("synth")
+    rng = np.random.default_rng(17)
+    genome = make_genome(rng, 1200)
+    majors = {300: 0.92}
+    minors = {700: 0.15}
+    reads, alts = make_sample(genome, rng, read_len=80, depth=700,
+                              major_positions=majors, minor_positions=minors,
+                              error_rate=0.004)
+    ref = tmp / "ref.fasta"
+    fq = tmp / "samp.fastq.gz"
+    write_fasta(str(ref), "sref", genome)
+    write_fastq(str(fq), reads)
+    return tmp, str(ref), str(fq), genome, alts
+
+
+def small_cfg(**kw):
+    kw.setdefault("batch_size", 4096)
+    kw.setdefault("chunk_reads", 8192)
+    return CallConfig(**kw)
+
+
+def test_end_to_end_single(synth):
+    tmp, ref, fq, genome, alts = synth
+    out = str(tmp / "out1")
+    cfg = small_cfg(genomes=[ref], reads=[fq], output=out)
+    index = build_index(cfg.kmer, [ref])
+    dev = build_device_index(index)
+    summaries = run_call(cfg, index, dev)
+
+    assert len(summaries) == 1
+    s = summaries[0]
+    assert s.selected_genome == "ref"
+    assert s.stats.num_major >= 1
+    vcf = os.path.join(out, "samp.vcf")
+    assert os.path.exists(vcf)
+    rows = [l for l in open(vcf) if not l.startswith("#")]
+    positions = {int(r.split("\t")[1]) for r in rows}
+    assert 301 in positions  # planted major
+    assert 701 in positions  # planted minor (deep + errors -> callable)
+    overview = open(os.path.join(out, "bronko_overview.tsv")).read().splitlines()
+    assert len(overview) == 2 and overview[1].startswith(fq)
+
+
+def test_end_to_end_paired_and_roundtrip(synth):
+    tmp, ref, fq, genome, alts = synth
+    # index save/load roundtrip
+    index = build_index(21, [ref])
+    db = str(tmp / "db.bkdb")
+    save_index(db, index)
+    index2 = load_index(db, expect_k=21)
+    assert np.array_equal(index.keys, index2.keys)
+    assert np.array_equal(index.post_meta, index2.post_meta)
+    assert index2.files[0].sequences[0].seq == genome
+
+    with pytest.raises(ValueError, match="Database k"):
+        load_index(db, expect_k=19)
+
+    out = str(tmp / "out2")
+    cfg = small_cfg(db=db, first_pairs=[fq], second_pairs=[fq], output=out)
+    dev = build_device_index(index2)
+    summaries = run_call(cfg, index2, dev)
+    assert summaries[0].stats.num_major >= 1
+    # paired doubles the depth estimate relative to single-end
+    assert os.path.exists(os.path.join(out, "samp.vcf"))
+
+
+def test_pileup_and_alignment_outputs(synth):
+    tmp, ref, fq, genome, alts = synth
+    out = str(tmp / "out3")
+    # three "samples" (same file) so the alignment builder has >= 3
+    cfg = small_cfg(genomes=[ref], reads=[fq, fq, fq], output=out,
+                    output_pileup=True, output_alignment=True)
+    index = build_index(cfg.kmer, [ref])
+    dev = build_device_index(index)
+    run_call(cfg, index, dev)
+    tsv = os.path.join(out, "samp.tsv")
+    assert os.path.exists(tsv)
+    lines = open(tsv).read().splitlines()
+    assert lines[0].startswith("reference\tindex\tref")
+    assert len(lines) == 1 + len(genome)
+    mfa = os.path.join(out, "ref.mfa")
+    assert os.path.exists(mfa)
+    mfa_lines = open(mfa).read().splitlines()
+    # ref row + 3 sample rows (same sample id deduped by name? no — 3 rows)
+    assert mfa_lines[0] == ">ref"
+    assert len([l for l in mfa_lines if l.startswith(">")]) >= 2

@@ -1,0 +1,82 @@
+"""Sharded ('data' x 'genome') pipeline must reproduce the single-device
+mapper exactly on an 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bronko_tpu.index.layout import build_device_index
+from bronko_tpu.parallel.mesh import make_mesh
+from bronko_tpu.parallel.pipeline import make_merge_step, make_sharded_map_step, split_index
+from tests.oracle.map_oracle import build_oracle_index, map_kmers_oracle
+from tests.test_map import make_index, random_genome, run_device_map, sample_kmers
+
+
+@pytest.mark.parametrize("n_data,n_genome", [(8, 1), (2, 4), (4, 2)])
+def test_sharded_matches_single(tmp_path, n_data, n_genome):
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    rng = np.random.default_rng(123)
+    k = 21
+    n_files = 5
+    files = []
+    for f in range(n_files):
+        seqs = [(f"s{f}_0", random_genome(rng, 250 + 30 * f))]
+        files.append((f"g{f}", seqs))
+    index = make_index(tmp_path, files, k)
+    kmer_counts = sample_kmers(rng, files, k, n_exact=150, n_mut=80, n_junk=16)
+
+    # single-device reference result
+    dev, pileup1, tallies1 = run_device_map(index, kmer_counts, batch=256)
+
+    # sharded result
+    mesh = make_mesh(n_data, n_genome)
+    sharded = split_index(index, n_genome)
+    mcfg = sharded.map_config(2, False)
+    step = make_sharded_map_step(mesh, mcfg)
+    merge = make_merge_step(mesh)
+
+    S, T = n_genome, sharded.t_pad
+    D, G = n_data, sharded.num_genomes
+    pileup = jnp.zeros((D, S, 4, T + 1, 4), jnp.int32)
+    tallies = jnp.zeros((D, G, 3), jnp.int32)
+    keys = jnp.asarray(sharded.keys)
+    offsets = jnp.asarray(sharded.offsets)
+    gpos = jnp.asarray(sharded.gpos)
+    pmeta = jnp.asarray(sharded.pmeta)
+
+    kmers = np.asarray([kc[0] for kc in kmer_counts], np.uint64)
+    counts = np.asarray([kc[1] for kc in kmer_counts], np.int32)
+    B = 256
+    assert B % D == 0
+    for lo in range(0, len(kmers), B):
+        kb = np.zeros(B, np.uint64)
+        cb = np.zeros(B, np.int32)
+        kb[: len(kmers[lo:lo + B])] = kmers[lo:lo + B]
+        cb[: len(counts[lo:lo + B])] = counts[lo:lo + B]
+        pileup, tallies = step(jnp.asarray(kb), jnp.asarray(cb),
+                               keys, offsets, gpos, pmeta, pileup, tallies)
+    mpileup, mtallies = merge(pileup, tallies)
+    mpileup = np.asarray(mpileup)[0]    # (S, 4, T+1, 4)
+    mtallies = np.asarray(mtallies)[0]  # (G, 3)
+
+    assert np.array_equal(mtallies, tallies1)
+
+    # compare each sequence's pileup slice between layouts
+    single_slices = {(s.file_id, s.seq_id): s for s in dev.seq_slices}
+    for sl in sharded.seq_slices:
+        shard = next(s for s, fl in enumerate(sharded.shard_files) if sl.file_id in fl)
+        got = mpileup[shard, :, sl.offset: sl.offset + sl.length]
+        ref_sl = single_slices[(sl.file_id, sl.seq_id)]
+        want = pileup1[:, ref_sl.offset: ref_sl.offset + ref_sl.length]
+        assert np.array_equal(got, want), (sl.file_id, sl.seq_id)
+
+
+def test_split_index_balance(tmp_path):
+    rng = np.random.default_rng(3)
+    k = 15
+    files = [(f"g{f}", [(f"s{f}", random_genome(rng, 100 + 50 * f))]) for f in range(6)]
+    index = make_index(tmp_path, files, k)
+    sh = split_index(index, 3)
+    assert sorted(f for fl in sh.shard_files for f in fl) == list(range(6))
+    assert sh.t_pad >= max(sh.shard_len)
