@@ -48,19 +48,51 @@ class MappingResult:
     tallies: np.ndarray         # (G, 3) int64 [perfect, variant, unique]
 
 
+def _read_chunks(path: str, cfg: CallConfig):
+    """Prefer the native C++ FASTQ reader; fall back to the Python parser
+    (also used when reads exceed the native row width)."""
+    try:
+        from bronko_tpu.io.native import get_lib, native_read_fastq_chunks
+
+        if get_lib() is not None:
+            return native_read_fastq_chunks(path, cfg.chunk_reads, max_len=512), 512
+    except Exception:  # noqa: BLE001
+        pass
+    return read_fastq_chunks(path, cfg.chunk_reads), None
+
+
 def count_sample(path: str, cfg: CallConfig, k: int) -> tuple[np.ndarray, np.ndarray, CountStats]:
     counter = KmerCounter(k, cfg.min_kmers)
-    lpad = None
-    for codes, lengths, n_reads in read_fastq_chunks(path, cfg.chunk_reads):
+    iterator, native_width = _read_chunks(path, cfg)
+    lpad = 0
+    for codes, lengths, n_reads in iterator:
+        max_len = int(lengths[:n_reads].max()) if n_reads else 0
+        if native_width is not None and max_len > native_width:
+            log.warning("reads longer than %d in %s; using Python parser",
+                        native_width, path)
+            return _count_sample_python(path, cfg, k)
         # stabilize shapes across chunks to avoid jit recompiles
-        if lpad is None or codes.shape[1] > lpad:
-            lpad = -(-codes.shape[1] // 32) * 32
-        if codes.shape[1] < lpad or codes.shape[0] < cfg.chunk_reads:
-            padded = np.full((cfg.chunk_reads, lpad), 4, np.uint8)
-            padded[: codes.shape[0], : codes.shape[1]] = codes
-            codes = padded
+        lpad = max(lpad, -(-max(max_len, 1) // 32) * 32)
+        padded = np.full((cfg.chunk_reads, lpad), 4, np.uint8)
+        w = min(lpad, codes.shape[1])
+        padded[: codes.shape[0], :w] = codes[:, :w]
+        if lengths.shape[0] < cfg.chunk_reads:
             lengths = np.pad(lengths, (0, cfg.chunk_reads - lengths.shape[0]))
-        counter.add_chunk(codes, lengths, n_reads)
+        counter.add_chunk(padded, lengths, n_reads)
+    kmers, counts = counter.finalize()
+    return kmers, counts, counter.stats
+
+
+def _count_sample_python(path: str, cfg: CallConfig, k: int):
+    counter = KmerCounter(k, cfg.min_kmers)
+    lpad = 0
+    for codes, lengths, n_reads in read_fastq_chunks(path, cfg.chunk_reads):
+        lpad = max(lpad, -(-codes.shape[1] // 32) * 32)
+        padded = np.full((cfg.chunk_reads, lpad), 4, np.uint8)
+        padded[: codes.shape[0], : codes.shape[1]] = codes
+        if lengths.shape[0] < cfg.chunk_reads:
+            lengths = np.pad(lengths, (0, cfg.chunk_reads - lengths.shape[0]))
+        counter.add_chunk(padded, lengths, n_reads)
     kmers, counts = counter.finalize()
     return kmers, counts, counter.stats
 

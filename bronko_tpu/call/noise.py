@@ -49,6 +49,22 @@ def _sqrt(x: float) -> float:
     return math.sqrt(x) if x >= 0.0 else float("nan")
 
 
+def _minor_freqs(fwd_counts: np.ndarray, rev_counts: np.ndarray) -> np.ndarray:
+    """(L, 3) minor-allele frequencies: per position the 4 strand-combined
+    counts sorted descending, ranks 1..3 as fractions of depth."""
+    totals = (fwd_counts + rev_counts).astype(np.int64)
+    srt = np.sort(totals, axis=1)[:, ::-1].astype(np.float64)
+    depth = srt.sum(axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        freqs = np.where(depth[:, None] > 0,
+                         srt / np.where(depth[:, None] > 0, depth[:, None], 1), 0.0)
+    return np.ascontiguousarray(freqs[:, 1:4])
+
+
+def _tau_table(n_max: int = 1024) -> np.ndarray:
+    return np.asarray([_tau(n) for n in range(n_max)], np.float64)
+
+
 def baseline_noise(fwd_counts: np.ndarray, rev_counts: np.ndarray) -> np.ndarray:
     """Per-position noise floor.
 
@@ -57,15 +73,24 @@ def baseline_noise(fwd_counts: np.ndarray, rev_counts: np.ndarray) -> np.ndarray
 
     Returns:
       (L, 3) float64 [max, mean, std] per position.
-    """
-    L = fwd_counts.shape[0]
-    totals = (fwd_counts + rev_counts).astype(np.int64)
-    # per position: the 4 counts sorted descending, as frequencies
-    srt = np.sort(totals, axis=1)[:, ::-1].astype(np.float64)
-    depth = srt.sum(axis=1)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        freqs = np.where(depth[:, None] > 0, srt / np.where(depth[:, None] > 0, depth[:, None], 1), 0.0)
 
+    Dispatches to the native C++ scan when available (identical operation
+    order; tested equal in tests/test_native.py), else the Python loop.
+    """
+    freqs3 = _minor_freqs(fwd_counts, rev_counts)
+    try:
+        from bronko_tpu.io.native import get_lib, native_noise_scan
+
+        if get_lib() is not None:
+            # window holds at most WINDOW_SIZE*3 samples
+            return native_noise_scan(freqs3, _tau_table(WINDOW_SIZE * 3 + 2))
+    except Exception:  # noqa: BLE001 — any native issue falls back to Python
+        pass
+    return _baseline_noise_py(freqs3)
+
+
+def _baseline_noise_py(freqs3: np.ndarray) -> np.ndarray:
+    L = freqs3.shape[0]
     out = np.zeros((L, 3), np.float64)
     window_counts = [0.0] * (WINDOW_SIZE * 3)
     in_max = [0] * (WINDOW_SIZE * 3)
@@ -77,7 +102,7 @@ def baseline_noise(fwd_counts: np.ndarray, rev_counts: np.ndarray) -> np.ndarray
 
     for i in range(L + half):
         base_pos = (i % WINDOW_SIZE) * 3
-        row = freqs[i] if i < L else None
+        row = freqs3[i] if i < L else None
 
         for j in range(1, 4):
             idx = base_pos + (j - 1)
@@ -96,7 +121,7 @@ def baseline_noise(fwd_counts: np.ndarray, rev_counts: np.ndarray) -> np.ndarray
                         maxes[MAX_TABLE_LEN - 1] = 0.0
                     in_max[idx] = 0
 
-            maf = float(row[j]) if row is not None else 0.0
+            maf = float(row[j - 1]) if row is not None else 0.0
             if maf > 0.0:
                 n += 1
                 s += maf

@@ -1,0 +1,106 @@
+"""ctypes bindings for the native (C++) host components.
+
+The shared library is compiled on demand with the baked-in toolchain (g++ +
+zlib); all callers fall back to the pure-Python implementations when the
+library is unavailable, so nothing hard-depends on it.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+log = logging.getLogger("bronko")
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libbronko_io.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+        return True
+    except Exception as e:  # noqa: BLE001
+        log.debug("native build failed: %s", e)
+        return False
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError as e:
+            log.debug("native load failed: %s", e)
+            return None
+        lib.bronko_fastq_open.restype = ctypes.c_void_p
+        lib.bronko_fastq_open.argtypes = [ctypes.c_char_p]
+        lib.bronko_fastq_close.argtypes = [ctypes.c_void_p]
+        lib.bronko_fastq_total_reads.restype = ctypes.c_int64
+        lib.bronko_fastq_total_reads.argtypes = [ctypes.c_void_p]
+        lib.bronko_fastq_read_chunk.restype = ctypes.c_int64
+        lib.bronko_fastq_read_chunk.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.bronko_noise_scan.restype = None
+        lib.bronko_noise_scan.argtypes = [
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_read_fastq_chunks(path: str, chunk_reads: int, max_len: int = 512):
+    """Yield (codes, lengths, n_reads) like io.fastq.read_fastq_chunks but
+    decoded by the C++ reader. Rows beyond n_reads stay padding (code 4)."""
+    lib = get_lib()
+    assert lib is not None
+    h = lib.bronko_fastq_open(path.encode())
+    if not h:
+        raise OSError(f"cannot open {path}")
+    try:
+        while True:
+            codes = np.empty((chunk_reads, max_len), np.uint8)
+            lengths = np.zeros(chunk_reads, np.int32)
+            n = lib.bronko_fastq_read_chunk(h, codes, lengths, chunk_reads, max_len)
+            if n < 0:
+                raise ValueError(f"malformed FASTQ: {path}")
+            if n == 0:
+                break
+            yield codes, lengths, int(n)
+            if n < chunk_reads:
+                break
+    finally:
+        lib.bronko_fastq_close(h)
+
+
+def native_noise_scan(freqs: np.ndarray, taus: np.ndarray) -> np.ndarray:
+    lib = get_lib()
+    assert lib is not None
+    L = freqs.shape[0]
+    out = np.zeros((L, 3), np.float64)
+    lib.bronko_noise_scan(np.ascontiguousarray(freqs, np.float64), L,
+                          np.ascontiguousarray(taus, np.float64), taus.shape[0], out)
+    return out

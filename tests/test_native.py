@@ -1,0 +1,65 @@
+"""Native (C++) components vs their Python references."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from bronko_tpu.call.noise import _baseline_noise_py, _minor_freqs, _tau_table
+from bronko_tpu.io.fastq import read_fastq_chunks
+from bronko_tpu.io.native import get_lib, native_noise_scan, native_read_fastq_chunks
+
+pytestmark = pytest.mark.skipif(get_lib() is None, reason="native lib unavailable")
+
+
+def test_noise_scan_bitwise_equal():
+    rng = np.random.default_rng(0)
+    L = 2000
+    fwd = rng.integers(0, 500, size=(L, 4)).astype(np.int64)
+    rev = rng.integers(0, 500, size=(L, 4)).astype(np.int64)
+    # sprinkle zero-depth positions and spikes
+    fwd[::17] = 0
+    rev[::17] = 0
+    fwd[::31, 2] += 5000
+    freqs3 = _minor_freqs(fwd, rev)
+    py = _baseline_noise_py(freqs3)
+    cc = native_noise_scan(freqs3, _tau_table(302))
+    assert np.array_equal(py, cc, equal_nan=True)
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_fastq_reader_matches_python(tmp_path, gz):
+    rng = np.random.default_rng(1)
+    reads = []
+    for i in range(777):
+        ln = int(rng.integers(20, 90))
+        reads.append(bytes(rng.choice(np.frombuffer(b"ACGTNacgtn", np.uint8), size=ln)))
+    path = str(tmp_path / ("r.fastq" + (".gz" if gz else "")))
+    op = gzip.open if gz else open
+    with op(path, "wt") as fh:
+        for i, r in enumerate(reads):
+            fh.write(f"@read{i} extra\n{r.decode()}\n+\n{'I' * len(r)}\n")
+
+    py_chunks = list(read_fastq_chunks(path, chunk_reads=256))
+    cc_chunks = list(native_read_fastq_chunks(path, chunk_reads=256, max_len=128))
+    py_reads = sum(c[2] for c in py_chunks)
+    cc_reads = sum(c[2] for c in cc_chunks)
+    assert py_reads == cc_reads == len(reads)
+
+    py_all = np.concatenate([c[0][: c[2], :96] for c in py_chunks])
+    cc_all = np.concatenate([c[0][: c[2], :96] for c in cc_chunks])
+    assert np.array_equal(py_all, cc_all)
+    py_len = np.concatenate([c[1][: c[2]] for c in py_chunks])
+    cc_len = np.concatenate([c[1][: c[2]] for c in cc_chunks])
+    assert np.array_equal(py_len, cc_len)
+
+
+def test_fastq_reader_no_trailing_newline(tmp_path):
+    path = str(tmp_path / "r.fastq")
+    with open(path, "w") as fh:
+        fh.write("@a\nACGT\n+\nIIII\n@b\nTTGG\n+\nIIII")  # no final \n
+    chunks = list(native_read_fastq_chunks(path, chunk_reads=16, max_len=32))
+    total = sum(c[2] for c in chunks)
+    assert total == 2
+    codes = chunks[0][0]
+    assert codes[1, :4].tolist() == [3, 3, 2, 2]
