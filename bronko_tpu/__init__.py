@@ -25,6 +25,16 @@ def _configure_jax() -> None:
         platform = os.environ.get("BRONKO_PLATFORM")
         if platform:
             jax.config.update("jax_platforms", platform)
+        # persistent compilation cache: TPU compiles may go through a slow
+        # remote tunnel; cache them across processes
+        cache_dir = os.environ.get(
+            "BRONKO_JAX_CACHE", os.path.expanduser("~/.cache/bronko_jax")
+        )
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:  # older jax without these flags
+            pass
     except ImportError:  # pure host-side use (oracle, IO) works without jax
         pass
 

@@ -21,6 +21,7 @@ import logging
 import time
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -44,7 +45,7 @@ log = logging.getLogger("bronko")
 
 @dataclass
 class MappingResult:
-    pileup: np.ndarray          # (4, T+1, 4) int32 on host
+    pileup: object              # (4, T+1, 4) int32 DEVICE array (pulled per-slice)
     tallies: np.ndarray         # (G, 3) int64 [perfect, variant, unique]
 
 
@@ -62,6 +63,26 @@ def _read_chunks(path: str, cfg: CallConfig):
 
 
 def count_sample(path: str, cfg: CallConfig, k: int) -> tuple[np.ndarray, np.ndarray, CountStats]:
+    """Count one sample's read k-mers.
+
+    Counter selection (cfg.counter): 'host' = C++ streaming hash counter —
+    IO-optimal, ships only unique k-mers to the device; 'device' = the
+    TPU-native sort-based counter; 'auto' = host when the native lib is
+    available."""
+    if cfg.counter in ("auto", "host"):
+        try:
+            from bronko_tpu.io.native import get_lib, native_count_fastq
+
+            if get_lib() is not None:
+                from bronko_tpu.consts import KMER_COUNT_CAP
+
+                kmers, counts, st = native_count_fastq(
+                    path, k, cfg.min_kmers, KMER_COUNT_CAP)
+                return kmers, counts, CountStats(**st)
+        except Exception as e:  # noqa: BLE001
+            if cfg.counter == "host":
+                raise
+            log.debug("host counter unavailable (%s); using device counter", e)
     counter = KmerCounter(k, cfg.min_kmers)
     iterator, native_width = _read_chunks(path, cfg)
     lpad = 0
@@ -116,10 +137,12 @@ def map_sample(
                 cb = np.pad(cb, (0, B - cb.shape[0]))
             pileup, tallies = map_batch_jit(
                 jnp.asarray(kb), jnp.asarray(cb),
-                dev.keys, dev.offsets, dev.gpos, dev.pmeta,
+                dev.keys, dev.offsets, dev.postings,
                 pileup, tallies, mcfg,
             )
-    return MappingResult(np.asarray(pileup), np.asarray(tallies).astype(np.int64))
+    # the pileup stays on device: only the selected genome's slices are
+    # pulled (host<->device bandwidth is the scarce resource)
+    return MappingResult(pileup, np.asarray(tallies).astype(np.int64))
 
 
 def pick_best_genome(tallies: np.ndarray, dev: DeviceIndex) -> int | None:
@@ -152,11 +175,14 @@ def call_sample_variants(
     file_meta = index.files[best]
     for sl in dev.slices_for_file(best):
         seq_meta = file_meta.sequences[sl.seq_id]
-        sl_range = slice(sl.offset, sl.offset + sl.length)
-        fwd_depth = pileup[PLANE_DEPTH_FWD, sl_range]
-        rev_depth = pileup[PLANE_DEPTH_REV, sl_range]
-        fwd_cnt = pileup[PLANE_CNT_FWD, sl_range]
-        rev_cnt = pileup[PLANE_CNT_REV, sl_range]
+        # slice on device, transfer only this sequence's four planes
+        block = np.asarray(
+            jax.lax.dynamic_slice_in_dim(pileup, sl.offset, sl.length, axis=1)
+        )
+        fwd_depth = block[PLANE_DEPTH_FWD]
+        rev_depth = block[PLANE_DEPTH_REV]
+        fwd_cnt = block[PLANE_CNT_FWD]
+        rev_cnt = block[PLANE_CNT_REV]
         seq_pileups[sl.name] = (fwd_depth, rev_depth)
         noise = baseline_noise(fwd_depth, rev_depth)
         records.extend(call_variants_for_seq(

@@ -86,6 +86,7 @@ class CallConfig:
     # TPU-specific knobs (no reference equivalent)
     batch_size: int = 1 << 17
     chunk_reads: int = 1 << 18
+    counter: str = "auto"  # 'auto' | 'host' (C++ hash) | 'device' (TPU sort)
 
     def validate(self) -> None:  # mirrors call.rs:30-136
         _check_k(self.kmer)

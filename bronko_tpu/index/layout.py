@@ -35,10 +35,9 @@ class SeqSlice:
 @dataclass
 class DeviceIndex:
     k: int
-    keys: jnp.ndarray     # (U,) uint64
-    offsets: jnp.ndarray  # (U+1,) int32
-    gpos: jnp.ndarray     # (P,) int32
-    pmeta: jnp.ndarray    # (P,) int32: idx | canonical<<5 | file_id<<6
+    keys: jnp.ndarray      # (U,) uint64
+    offsets: jnp.ndarray   # (U+1,) int32
+    postings: jnp.ndarray  # (P,) int64: gpos<<22 | idx | canonical<<5 | file_id<<6
     num_genomes: int
     total_len: int
     max_bucket: int
@@ -84,8 +83,9 @@ def build_device_index(index: BronkoIndex) -> DeviceIndex:
             table[fid, sid] = off
     seq_off = table[file_id, seq_id] if meta.size else np.zeros(0, np.int64)
 
-    gpos = (seq_off + index.post_loc.astype(np.int64) + idx).astype(np.int32)
-    pmeta = (idx | (canon << 5) | (file_id << 6)).astype(np.int32)
+    gpos = seq_off + index.post_loc.astype(np.int64) + idx
+    pmeta = idx | (canon << 5) | (file_id << 6)
+    postings = (gpos << 22) | pmeta
 
     genome_lens = np.asarray([f.total_len for f in index.files], np.int64)
 
@@ -93,8 +93,7 @@ def build_device_index(index: BronkoIndex) -> DeviceIndex:
         k=index.k,
         keys=jnp.asarray(index.keys),
         offsets=jnp.asarray(index.offsets.astype(np.int32)),
-        gpos=jnp.asarray(gpos),
-        pmeta=jnp.asarray(pmeta),
+        postings=jnp.asarray(postings),
         num_genomes=len(index.files),
         total_len=total_len,
         max_bucket=index.max_postings_per_bucket,

@@ -68,8 +68,55 @@ def get_lib():
             ctypes.c_int64,
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         ]
+        lib.bronko_counter_create.restype = ctypes.c_void_p
+        lib.bronko_counter_create.argtypes = [ctypes.c_int]
+        lib.bronko_counter_destroy.argtypes = [ctypes.c_void_p]
+        lib.bronko_counter_count_fastq.restype = ctypes.c_int
+        lib.bronko_counter_count_fastq.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        for fn in ("total_reads", "total_kmers", "unique"):
+            f = getattr(lib, f"bronko_counter_{fn}")
+            f.restype = ctypes.c_int64
+            f.argtypes = [ctypes.c_void_p]
+        lib.bronko_counter_unique_counted.restype = ctypes.c_int64
+        lib.bronko_counter_unique_counted.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+        lib.bronko_counter_extract.restype = None
+        lib.bronko_counter_extract.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+            np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+        ]
         _lib = lib
         return _lib
+
+
+def native_count_fastq(path: str, k: int, min_count: int, count_cap: int):
+    """Count a FASTQ file's k-mers entirely in C++.
+
+    Returns (kmers u64 sorted, counts int64, stats dict). Matches KMC -b
+    -ci<min> -cs<cap> semantics like ops/count.KmerCounter.
+    """
+    lib = get_lib()
+    assert lib is not None
+    h = lib.bronko_counter_create(k)
+    try:
+        rc = lib.bronko_counter_count_fastq(h, path.encode())
+        if rc == -1:
+            raise OSError(f"cannot open {path}")
+        if rc != 0:
+            raise ValueError(f"malformed FASTQ: {path}")
+        n = lib.bronko_counter_unique_counted(h, min_count)
+        kmers = np.empty(n, np.uint64)
+        counts = np.empty(n, np.uint32)
+        lib.bronko_counter_extract(h, min_count, count_cap, kmers, counts)
+        stats = dict(
+            total_reads=int(lib.bronko_counter_total_reads(h)),
+            total_kmers=int(lib.bronko_counter_total_kmers(h)),
+            unique_kmers=int(lib.bronko_counter_unique(h)),
+            unique_counted_kmers=int(n),
+        )
+        return kmers, counts.astype(np.int64), stats
+    finally:
+        lib.bronko_counter_destroy(h)
 
 
 def native_read_fastq_chunks(path: str, chunk_reads: int, max_len: int = 512):

@@ -42,8 +42,7 @@ class ShardedIndex:
     k: int
     keys: np.ndarray      # (S, U_max) uint64, sentinel-padded
     offsets: np.ndarray   # (S, U_max+1) int32
-    gpos: np.ndarray      # (S, P_max) int32, local to the shard's pileup space
-    pmeta: np.ndarray     # (S, P_max) int32 (file_id stays global)
+    postings: np.ndarray  # (S, P_max) int64: local gpos<<22 | pmeta (file_id global)
     shard_len: np.ndarray  # (S,) int64 true pileup length per shard
     t_pad: int            # padded per-shard pileup length
     num_genomes: int
@@ -124,32 +123,31 @@ def split_index(index: BronkoIndex, n_shards: int) -> ShardedIndex:
         skeys = post_keys[sel]
         order = np.argsort(skeys, kind="stable")
         skeys = skeys[order]
-        sgpos = (loc_off[sel] + index.post_loc[sel].astype(np.int64) + p_idx[sel])[order].astype(np.int32)
-        spmeta = (p_idx[sel] | (p_can[sel] << 5) | (p_fid[sel] << 6))[order].astype(np.int32)
+        sgpos = (loc_off[sel] + index.post_loc[sel].astype(np.int64) + p_idx[sel])[order]
+        spmeta = (p_idx[sel] | (p_can[sel] << 5) | (p_fid[sel] << 6))[order]
+        spost = (sgpos << 22) | spmeta
         ukeys, start = np.unique(skeys, return_index=True)
         soff = np.concatenate([start, [skeys.shape[0]]]).astype(np.int32)
-        shard_arrays.append((ukeys, soff, sgpos, spmeta))
+        shard_arrays.append((ukeys, soff, spost))
         U_max = max(U_max, ukeys.shape[0])
-        P_max = max(P_max, sgpos.shape[0])
+        P_max = max(P_max, spost.shape[0])
 
     keys = np.full((n_shards, U_max), KEY_SENTINEL, np.uint64)
     offsets = np.zeros((n_shards, U_max + 1), np.int32)
-    gpos = np.zeros((n_shards, P_max), np.int32)
-    pmeta = np.zeros((n_shards, P_max), np.int32)
+    postings = np.zeros((n_shards, P_max), np.int64)
     max_bucket = 1
-    for s, (ukeys, soff, sgpos, spmeta) in enumerate(shard_arrays):
+    for s, (ukeys, soff, spost) in enumerate(shard_arrays):
         u = ukeys.shape[0]
         keys[s, :u] = ukeys
         offsets[s, :u + 1] = soff
         offsets[s, u + 1:] = soff[-1] if u else 0
-        gpos[s, :sgpos.shape[0]] = sgpos
-        pmeta[s, :spmeta.shape[0]] = spmeta
+        postings[s, :spost.shape[0]] = spost
         if u:
             max_bucket = max(max_bucket, int(np.max(np.diff(soff[:u + 1]))))
 
     return ShardedIndex(
         k=index.k,
-        keys=keys, offsets=offsets, gpos=gpos, pmeta=pmeta,
+        keys=keys, offsets=offsets, postings=postings,
         shard_len=np.asarray(shard_cursor, np.int64),
         t_pad=t_pad,
         num_genomes=G,
@@ -163,16 +161,16 @@ def split_index(index: BronkoIndex, n_shards: int) -> ShardedIndex:
 def make_sharded_map_step(mesh: Mesh, cfg: MapConfig):
     """Build the jitted SPMD mapping step over mesh ('data', 'genome').
 
-    Returns step(kmers, counts, keys, offsets, gpos, pmeta, pileup, tallies)
+    Returns step(kmers, counts, keys, offsets, postings, pileup, tallies)
     where pileup is (D, S, 4, T+1, 4) sharded (data, genome) and tallies is
     (D, G, 3) sharded (data,). kmers/counts are (B,) sharded over data.
     """
     nb = len(cfg.positions)
 
-    def local_step(kmers, counts, keys, offsets, gpos, pmeta, pileup, tallies):
+    def local_step(kmers, counts, keys, offsets, postings, pileup, tallies):
         # local blocks: kmers (B/D,), keys (1, U), pileup (1, 1, 4, T+1, 4)
         pl, hits = probe_scatter(
-            kmers, counts, keys[0], offsets[0], gpos[0], pmeta[0],
+            kmers, counts, keys[0], offsets[0], postings[0],
             pileup[0, 0], cfg=cfg,
         )
         hits = jax.lax.psum(hits, "genome")
@@ -185,12 +183,12 @@ def make_sharded_map_step(mesh: Mesh, cfg: MapConfig):
         mesh=mesh,
         in_specs=(
             P("data"), P("data"),
-            P("genome", None), P("genome", None), P("genome", None), P("genome", None),
+            P("genome", None), P("genome", None), P("genome", None),
             P("data", "genome"), P("data", None, None),
         ),
         out_specs=(P("data", "genome"), P("data", None, None)),
         check_vma=False,
-    ))
+    ), donate_argnums=(5, 6))
 
 
 def make_merge_step(mesh: Mesh):

@@ -102,3 +102,23 @@ def test_pileup_and_alignment_outputs(synth):
     # ref row + 3 sample rows (same sample id deduped by name? no — 3 rows)
     assert mfa_lines[0] == ">ref"
     assert len([l for l in mfa_lines if l.startswith(">")]) >= 2
+
+
+def test_device_counter_path(synth):
+    """The TPU-native device counter must produce identical results to the
+    host C++ counter through the engine."""
+    tmp, ref, fq, genome, alts = synth
+    out_h = str(tmp / "out_host")
+    out_d = str(tmp / "out_dev")
+    index = build_index(21, [ref])
+    dev = build_device_index(index)
+    run_call(small_cfg(genomes=[ref], reads=[fq], output=out_h, counter="host"),
+             index, dev)
+    run_call(small_cfg(genomes=[ref], reads=[fq], output=out_d, counter="device"),
+             index, dev)
+    vcf_h = open(os.path.join(out_h, "samp.vcf")).read()
+    vcf_d = open(os.path.join(out_d, "samp.vcf")).read()
+    assert vcf_h == vcf_d
+    ov_h = open(os.path.join(out_h, "bronko_overview.tsv")).read()
+    ov_d = open(os.path.join(out_d, "bronko_overview.tsv")).read()
+    assert ov_h == ov_d

@@ -46,7 +46,7 @@ def run_device_map(index: BronkoIndex, kmer_counts, n_fixed=2, use_full_kmer=Fal
             cb = np.pad(cb, (0, batch - cb.shape[0]))
         pileup, tallies = map_batch_jit(
             jnp.asarray(kb), jnp.asarray(cb), dev.keys, dev.offsets,
-            dev.gpos, dev.pmeta, pileup, tallies, mcfg)
+            dev.postings, pileup, tallies, mcfg)
     return dev, np.asarray(pileup), np.asarray(tallies)
 
 

@@ -63,3 +63,38 @@ def test_fastq_reader_no_trailing_newline(tmp_path):
     assert total == 2
     codes = chunks[0][0]
     assert codes[1, :4].tolist() == [3, 3, 2, 2]
+
+
+def test_host_counter_matches_oracle(tmp_path):
+    import numpy as np
+
+    from bronko_tpu.io.native import native_count_fastq
+    from tests.test_count import oracle_count, random_reads
+
+    rng = np.random.default_rng(5)
+    reads = random_reads(rng, 400)
+    path = str(tmp_path / "c.fastq")
+    with open(path, "w") as fh:
+        for i, r in enumerate(reads):
+            fh.write(f"@r{i}\n{r.decode()}\n+\n{'I' * len(r)}\n")
+    k = 21
+    expected, total = oracle_count(reads, k)
+    kmers, counts, st = native_count_fastq(path, k, 3, 1_000_000)
+    assert st["total_reads"] == len(reads)
+    assert st["total_kmers"] == total
+    assert st["unique_kmers"] == len(expected)
+    exp_kept = {km: c for km, c in expected.items() if c >= 3}
+    assert st["unique_counted_kmers"] == len(exp_kept)
+    assert dict(zip(kmers.tolist(), counts.tolist())) == exp_kept
+    assert np.all(np.diff(kmers.astype(np.uint64)) > 0)  # sorted unique
+
+
+def test_host_counter_cap(tmp_path):
+    from bronko_tpu.io.native import native_count_fastq
+
+    path = str(tmp_path / "cap.fastq")
+    with open(path, "w") as fh:
+        for i in range(5):
+            fh.write(f"@r{i}\n{'A'*40}\n+\n{'I'*40}\n")
+    kmers, counts, st = native_count_fastq(path, 15, 1, 10)
+    assert kmers.tolist() == [0] and counts.tolist() == [10]

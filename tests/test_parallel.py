@@ -42,8 +42,7 @@ def test_sharded_matches_single(tmp_path, n_data, n_genome):
     tallies = jnp.zeros((D, G, 3), jnp.int32)
     keys = jnp.asarray(sharded.keys)
     offsets = jnp.asarray(sharded.offsets)
-    gpos = jnp.asarray(sharded.gpos)
-    pmeta = jnp.asarray(sharded.pmeta)
+    postings = jnp.asarray(sharded.postings)
 
     kmers = np.asarray([kc[0] for kc in kmer_counts], np.uint64)
     counts = np.asarray([kc[1] for kc in kmer_counts], np.int32)
@@ -55,7 +54,7 @@ def test_sharded_matches_single(tmp_path, n_data, n_genome):
         kb[: len(kmers[lo:lo + B])] = kmers[lo:lo + B]
         cb[: len(counts[lo:lo + B])] = counts[lo:lo + B]
         pileup, tallies = step(jnp.asarray(kb), jnp.asarray(cb),
-                               keys, offsets, gpos, pmeta, pileup, tallies)
+                               keys, offsets, postings, pileup, tallies)
     mpileup, mtallies = merge(pileup, tallies)
     mpileup = np.asarray(mpileup)[0]    # (S, 4, T+1, 4)
     mtallies = np.asarray(mtallies)[0]  # (G, 3)
