@@ -37,7 +37,7 @@ from bronko_tpu.io.fastq import read_fastq_chunks
 from bronko_tpu.ops.count import CountStats, KmerCounter
 from bronko_tpu.ops.map import (
     PLANE_CNT_FWD, PLANE_CNT_REV, PLANE_DEPTH_FWD, PLANE_DEPTH_REV,
-    map_batch_jit,
+    map_all_jit,
 )
 
 log = logging.getLogger("bronko")
@@ -129,17 +129,32 @@ def map_sample(
     B = cfg.batch_size
     n = kmers.shape[0]
     if len(mcfg.positions) > 0 and n > 0:
-        for lo in range(0, n, B):
-            kb = kmers[lo:lo + B]
-            cb = counts[lo:lo + B].astype(np.int32)
-            if kb.shape[0] < B:
-                kb = np.pad(kb, (0, B - kb.shape[0]))
-                cb = np.pad(cb, (0, B - cb.shape[0]))
-            pileup, tallies = map_batch_jit(
-                jnp.asarray(kb), jnp.asarray(cb),
-                dev.keys, dev.offsets, dev.postings,
+        # pad to a power-of-two number of B-sized batches (few jit variants),
+        # single upload + single scan dispatch
+        nb = max(1, -(-n // B))
+        nb = 1 << (nb - 1).bit_length()
+        kb = np.zeros(nb * B, np.uint64)
+        cb = np.zeros(nb * B, np.int32)
+        kb[:n] = kmers
+        cb[:n] = counts
+        kj = jnp.asarray(kb.reshape(nb, B))
+        cj = jnp.asarray(cb.reshape(nb, B))
+        while True:
+            pileup, tallies, overflow = map_all_jit(
+                kj, cj, dev.keys, dev.offsets, dev.postings,
                 pileup, tallies, mcfg,
             )
+            if not int(overflow):
+                break
+            # a batch exceeded the lane budget (heavy-tailed buckets);
+            # retry from scratch with a doubled budget — rare, exact
+            log.info("lane budget exceeded (factor %d); retrying with %d",
+                     mcfg.lane_factor, mcfg.lane_factor * 2)
+            from dataclasses import replace
+
+            mcfg = replace(mcfg, lane_factor=mcfg.lane_factor * 2)
+            pileup = jnp.zeros((4, T + 1, 4), jnp.int32)
+            tallies = jnp.zeros((dev.num_genomes, 3), jnp.int32)
     # the pileup stays on device: only the selected genome's slices are
     # pulled (host<->device bandwidth is the scarce resource)
     return MappingResult(pileup, np.asarray(tallies).astype(np.int64))

@@ -46,12 +46,15 @@ class DeviceIndex:
 
     def map_config(self, n_fixed: int, use_full_kmer: bool) -> MapConfig:
         positions = tuple(filtered_bucket_positions(self.k, n_fixed, use_full_kmer))
+        n_buckets = max(1, int(self.offsets.shape[0]) - 1)
+        avg = int(self.postings.shape[0]) / n_buckets
         return MapConfig(
             k=self.k,
             positions=positions,
             max_bucket=self.max_bucket,
             num_genomes=self.num_genomes,
             total_len=self.total_len,
+            lane_factor=min(self.max_bucket, max(4, int(np.ceil(avg)) + 2)),
         )
 
     def slices_for_file(self, file_id: int) -> list[SeqSlice]:

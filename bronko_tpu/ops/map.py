@@ -53,9 +53,12 @@ PLANE_CNT_REV = 3
 class MapConfig:
     k: int
     positions: tuple[int, ...]  # filtered wildcard positions (static)
-    max_bucket: int             # E: static posting-expansion width
+    max_bucket: int             # E: max bucket size (info only)
     num_genomes: int            # G
     total_len: int              # T: sum of all sequence lengths (all genomes)
+    lane_factor: int = 6        # lane budget = B * J * lane_factor (avg bucket
+                                # size + slack; overflow flag triggers retry
+                                # with a doubled factor)
 
 
 def probe_scatter(
@@ -70,16 +73,26 @@ def probe_scatter(
 ):
     """Probe + pileup scatter for one batch against one index (shard).
 
-    Returns (pileup, hits) where hits is the (B, G) per-kmer per-genome
-    posting-hit count — in the genome-sharded pipeline this is psum'ed over
-    the 'genome' axis before classification.
+    Expansion uses a dynamic flat join: per-hit posting ranges are unrolled
+    into a flat lane array sized by the AVERAGE bucket load (lane budget =
+    B*J*lane_factor) via a sorted-merge run-length expansion, instead of
+    padding every hit to the maximum bucket size. Heavy-tailed bucket
+    distributions (near-identical strains, low-complexity repeats) then cost
+    their true posting count. If a batch's true lane total exceeds the
+    budget, the returned overflow flag is nonzero and the caller retries
+    with a doubled factor — no postings are ever silently dropped.
+
+    Returns (pileup, hits, overflow) where hits is the (B, G) per-kmer
+    per-genome posting-hit count — in the genome-sharded pipeline this is
+    psum'ed over the 'genome' axis before classification.
     """
     k = cfg.k
     B = kmers.shape[0]
     J = len(cfg.positions)
-    E = cfg.max_bucket
     U = keys.shape[0]
     T = cfg.total_len
+    N2 = B * J
+    LB = B * J * cfg.lane_factor
 
     valid_kmer = counts > 0
     canon, is_rc = canonical(kmers, k, jnp)
@@ -94,56 +107,52 @@ def probe_scatter(
     ii_c = jnp.minimum(ii, U - 1).astype(jnp.int32)
     hit = (keys[ii_c] == q) & valid_kmer[:, None]        # (B,J)
 
-    start = offsets[ii_c]
-    end = offsets[ii_c + 1]
-    lane = jnp.arange(E, dtype=jnp.int32)
-    pidx = start[..., None] + lane                       # (B,J,E)
-    pvalid = (pidx < end[..., None]) & hit[..., None]
-    pidx_s = jnp.where(pvalid, pidx, 0)
+    startf = offsets[ii_c].reshape(N2)
+    endf = offsets[ii_c + 1].reshape(N2)
+    lens = jnp.where(hit.reshape(N2), endf - startf, 0)
+    cum = jnp.cumsum(lens, dtype=jnp.int32)              # inclusive
+    total = cum[-1]
+    excl = cum - lens
 
-    post = postings[pidx_s]                              # (B,J,E) int64: gpos<<22 | pmeta
+    lane_ids = jnp.arange(LB, dtype=jnp.int32)
+    own = jnp.searchsorted(cum, lane_ids, side="right", method="sort")
+    own_c = jnp.minimum(own, N2 - 1).astype(jnp.int32)
+    lane_valid = lane_ids < jnp.minimum(total, LB)
+    pofs = lane_ids - excl[own_c]
+    pidx_s = jnp.where(lane_valid, startf[own_c] + pofs, 0)
+
+    post = postings[pidx_s]                              # (LB,) int64
     g = (post >> 22).astype(jnp.int32)
     m = (post & 0x3FFFFF).astype(jnp.int32)
     idx = m & 31
     is_canon = (m >> 5) & 1
     fid = m >> 6
 
-    flat_idx = idx.reshape(B, J * E)
-    base_nc = jnp.take_along_axis(bases, flat_idx, axis=1).reshape(B, J, E)
-    base_c = 3 - jnp.take_along_axis(bases, (k - 1) - flat_idx, axis=1).reshape(B, J, E)
+    b = own_c // J
+    bases_flat = bases.reshape(B * k)
+    base_nc = bases_flat[b * k + idx]
+    base_c = 3 - bases_flat[b * k + (k - 1 - idx)]
     base = jnp.where(is_canon == 1, base_c, base_nc)
 
-    fwd = (is_canon == is_rc[:, None, None].astype(jnp.int32))
-    pos = jnp.where(pvalid, g, T)                        # dump row for masked
-    cell = pos * 4 + base                                # (B,J,E) in [0, 4T+4)
+    fwd = (is_canon == is_rc[b].astype(jnp.int32))
+    pos = jnp.where(lane_valid, g, T)                    # dump row for masked
+    cell = pos * 4 + base                                # (LB,) in [0, 4T+4)
+    n_lane = counts[b]
 
-    n_bcast = jnp.broadcast_to(counts[:, None, None], cell.shape)
     row_len = (T + 1) * 4
-    cell_f = cell.reshape(-1)
-    fwd_f = fwd.reshape(-1)
-    n_f = n_bcast.reshape(-1)
-
     flat = pileup.reshape(4 * row_len)
-    depth_target = jnp.where(fwd_f, PLANE_DEPTH_FWD * row_len, PLANE_DEPTH_REV * row_len) + cell_f
-    cnt_target = jnp.where(fwd_f, PLANE_CNT_FWD * row_len, PLANE_CNT_REV * row_len) + cell_f
-    flat = flat.at[depth_target].max(n_f)
-    flat = flat.at[cnt_target].add(1)
+    depth_target = jnp.where(fwd, PLANE_DEPTH_FWD * row_len, PLANE_DEPTH_REV * row_len) + cell
+    cnt_target = jnp.where(fwd, PLANE_CNT_FWD * row_len, PLANE_CNT_REV * row_len) + cell
+    flat = flat.at[depth_target].max(jnp.where(lane_valid, n_lane, 0))
+    flat = flat.at[cnt_target].add(lane_valid.astype(jnp.int32))
     pileup = flat.reshape(4, T + 1, 4)
 
-    # per-(kmer, genome) posting-hit counts; one-hot reduction beats scatter
-    # for small genome counts (the common viral-panel case)
-    G = cfg.num_genomes
-    if G <= 8:
-        lanes = fid.reshape(B, -1)
-        pv = pvalid.reshape(B, -1)
-        eq = (lanes[..., None] == jnp.arange(G, dtype=jnp.int32)) & pv[..., None]
-        hits = eq.sum(axis=1, dtype=jnp.int32)
-    else:
-        b_idx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None, None], cell.shape)
-        hits = jnp.zeros((B, G), jnp.int32).at[
-            b_idx.reshape(-1), fid.reshape(-1)
-        ].add(pvalid.reshape(-1).astype(jnp.int32), mode="drop")
-    return pileup, hits
+    # per-(kmer, genome) posting-hit counts
+    hits = jnp.zeros((B, cfg.num_genomes), jnp.int32).at[b, fid].add(
+        lane_valid.astype(jnp.int32), mode="drop"
+    )
+    overflow = (total > LB).astype(jnp.int32)
+    return pileup, hits, overflow
 
 
 def classify_tallies(hits, valid_kmer, nb: int):
@@ -164,14 +173,30 @@ def classify_tallies(hits, valid_kmer, nb: int):
 
 
 def map_batch(kmers, counts, keys, offsets, postings, pileup, tallies, *, cfg: MapConfig):
-    """Single-shard mapping step; returns (pileup, tallies) updated."""
-    pileup, hits = probe_scatter(
+    """Single-shard mapping step; returns (pileup, tallies, overflow)."""
+    pileup, hits, overflow = probe_scatter(
         kmers, counts, keys, offsets, postings, pileup, cfg=cfg
     )
     batch = classify_tallies(hits, counts > 0, len(cfg.positions))
-    return pileup, tallies + batch
+    return pileup, tallies + batch, overflow
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(5, 6))
 def map_batch_jit(kmers, counts, keys, offsets, postings, pileup, tallies, cfg: MapConfig):
     return map_batch(kmers, counts, keys, offsets, postings, pileup, tallies, cfg=cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(5, 6))
+def map_all_jit(kmers, counts, keys, offsets, postings, pileup, tallies, cfg: MapConfig):
+    """Map (nb, B) pre-batched k-mers in a single dispatch via lax.scan —
+    one host->device roundtrip per sample instead of one per batch."""
+
+    def body(carry, batch):
+        pl, tl, ov = carry
+        km, ct = batch
+        pl, tl, ov2 = map_batch(km, ct, keys, offsets, postings, pl, tl, cfg=cfg)
+        return (pl, tl, ov | ov2), None
+
+    (pileup, tallies, overflow), _ = jax.lax.scan(
+        body, (pileup, tallies, jnp.int32(0)), (kmers, counts))
+    return pileup, tallies, overflow

@@ -54,12 +54,15 @@ class ShardedIndex:
     def map_config(self, n_fixed: int, use_full_kmer: bool) -> MapConfig:
         from bronko_tpu.ops.buckets import filtered_bucket_positions
 
+        n_buckets = max(1, self.offsets.shape[1] - 1)
+        avg = self.postings.shape[1] / n_buckets
         return MapConfig(
             k=self.k,
             positions=tuple(filtered_bucket_positions(self.k, n_fixed, use_full_kmer)),
             max_bucket=self.max_bucket,
             num_genomes=self.num_genomes,
             total_len=self.t_pad,
+            lane_factor=min(self.max_bucket, max(4, int(np.ceil(avg)) + 2)),
         )
 
 
@@ -169,14 +172,15 @@ def make_sharded_map_step(mesh: Mesh, cfg: MapConfig):
 
     def local_step(kmers, counts, keys, offsets, postings, pileup, tallies):
         # local blocks: kmers (B/D,), keys (1, U), pileup (1, 1, 4, T+1, 4)
-        pl, hits = probe_scatter(
+        pl, hits, overflow = probe_scatter(
             kmers, counts, keys[0], offsets[0], postings[0],
             pileup[0, 0], cfg=cfg,
         )
         hits = jax.lax.psum(hits, "genome")
+        overflow = jax.lax.psum(jax.lax.psum(overflow, "genome"), "data")
         batch = classify_tallies(hits, counts > 0, nb)
         # tallies identical across 'genome'; keep one copy per data shard
-        return pl[None, None], tallies + batch[None]
+        return pl[None, None], tallies + batch[None], overflow[None]
 
     return jax.jit(jax.shard_map(
         local_step,
@@ -186,7 +190,7 @@ def make_sharded_map_step(mesh: Mesh, cfg: MapConfig):
             P("genome", None), P("genome", None), P("genome", None),
             P("data", "genome"), P("data", None, None),
         ),
-        out_specs=(P("data", "genome"), P("data", None, None)),
+        out_specs=(P("data", "genome"), P("data", None, None), P(None)),
         check_vma=False,
     ), donate_argnums=(5, 6))
 

@@ -44,9 +44,10 @@ def run_device_map(index: BronkoIndex, kmer_counts, n_fixed=2, use_full_kmer=Fal
         if kb.shape[0] < batch:
             kb = np.pad(kb, (0, batch - kb.shape[0]))
             cb = np.pad(cb, (0, batch - cb.shape[0]))
-        pileup, tallies = map_batch_jit(
+        pileup, tallies, overflow = map_batch_jit(
             jnp.asarray(kb), jnp.asarray(cb), dev.keys, dev.offsets,
             dev.postings, pileup, tallies, mcfg)
+        assert int(overflow) == 0
     return dev, np.asarray(pileup), np.asarray(tallies)
 
 
@@ -122,3 +123,32 @@ def test_map_use_full_kmer(tmp_path):
     rng_ = slice(sl.offset, sl.offset + sl.length)
     assert np.array_equal(pileup[PLANE_DEPTH_FWD, rng_], om["fwd"])
     assert np.array_equal(pileup[PLANE_CNT_REV, rng_], om["rev_cnt"])
+
+
+def test_overflow_flag(tmp_path):
+    """A lane budget smaller than the true posting load must raise the
+    overflow flag instead of silently dropping postings."""
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+    from bronko_tpu.ops.map import map_batch_jit
+
+    rng = np.random.default_rng(11)
+    k = 21
+    # 6 identical genomes -> every bucket has ~6 postings
+    seq = random_genome(rng, 300)
+    files = [(f"g{i}", [(f"s{i}", seq)]) for i in range(6)]
+    index = make_index(tmp_path, files, k)
+    from bronko_tpu.index.layout import build_device_index
+    dev = build_device_index(index)
+    mcfg = replace(dev.map_config(2, False), lane_factor=1)
+    kmer_counts = sample_kmers(rng, files, k, n_exact=64, n_mut=0, n_junk=0)
+    kmers = np.asarray([kc[0] for kc in kmer_counts], np.uint64)
+    counts = np.asarray([kc[1] for kc in kmer_counts], np.int32)
+    T = dev.total_len
+    pileup = jnp.zeros((4, T + 1, 4), jnp.int32)
+    tallies = jnp.zeros((dev.num_genomes, 3), jnp.int32)
+    _, _, overflow = map_batch_jit(
+        jnp.asarray(kmers), jnp.asarray(counts), dev.keys, dev.offsets,
+        dev.postings, pileup, tallies, mcfg)
+    assert int(overflow) == 1

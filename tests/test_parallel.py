@@ -53,8 +53,9 @@ def test_sharded_matches_single(tmp_path, n_data, n_genome):
         cb = np.zeros(B, np.int32)
         kb[: len(kmers[lo:lo + B])] = kmers[lo:lo + B]
         cb[: len(counts[lo:lo + B])] = counts[lo:lo + B]
-        pileup, tallies = step(jnp.asarray(kb), jnp.asarray(cb),
-                               keys, offsets, postings, pileup, tallies)
+        pileup, tallies, overflow = step(jnp.asarray(kb), jnp.asarray(cb),
+                                         keys, offsets, postings, pileup, tallies)
+        assert int(np.asarray(overflow)[0]) == 0
     mpileup, mtallies = merge(pileup, tallies)
     mpileup = np.asarray(mpileup)[0]    # (S, 4, T+1, 4)
     mtallies = np.asarray(mtallies)[0]  # (G, 3)
