@@ -76,7 +76,10 @@ def main():
     import bronko_tpu  # noqa: F401
     import jax
 
-    from bronko_tpu.call.engine import count_sample, map_sample, pick_best_genome, call_sample_variants
+    from bronko_tpu.call.engine import (
+        _prepare_batches, call_sample_variants, count_sample,
+        pick_best_genome, run_pileup_pass, run_tally_pass,
+    )
     from bronko_tpu.config import CallConfig
     from bronko_tpu.index.build import build_index
     from bronko_tpu.index.layout import build_device_index
@@ -90,14 +93,18 @@ def main():
     dev = build_device_index(index)
     build_s = time.time() - t0
 
+    mcfg = dev.map_config(cfg.n_fixed, cfg.use_full_kmer)
+
     def run_once():
         t_start = time.time()
         kmers, counts, cstats = count_sample(fastq, cfg, index.k)
         t_count = time.time()
-        result = map_sample(kmers, counts, dev, cfg)
-        best = pick_best_genome(result.tallies, dev)
+        kj, cj = _prepare_batches(kmers, counts, cfg.batch_size)
+        tallies = run_tally_pass(kj, cj, dev, mcfg)
+        best = pick_best_genome(tallies, dev)
+        pileup = run_pileup_pass(kj, cj, dev, best, mcfg)
         t_map = time.time()
-        records, stats, _ = call_sample_variants(index, dev, cfg, best, result.pileup)
+        records, stats, _ = call_sample_variants(index, dev, cfg, best, pileup)
         t_call = time.time()
         return dict(
             reads=cstats.total_reads,

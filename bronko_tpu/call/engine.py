@@ -37,16 +37,10 @@ from bronko_tpu.io.fastq import read_fastq_chunks
 from bronko_tpu.ops.count import CountStats, KmerCounter
 from bronko_tpu.ops.map import (
     PLANE_CNT_FWD, PLANE_CNT_REV, PLANE_DEPTH_FWD, PLANE_DEPTH_REV,
-    map_all_jit,
+    pileup_all_jit, tally_all_jit,
 )
 
 log = logging.getLogger("bronko")
-
-
-@dataclass
-class MappingResult:
-    pileup: object              # (4, T+1, 4) int32 DEVICE array (pulled per-slice)
-    tallies: np.ndarray         # (G, 3) int64 [perfect, variant, unique]
 
 
 def _read_chunks(path: str, cfg: CallConfig):
@@ -118,46 +112,64 @@ def _count_sample_python(path: str, cfg: CallConfig, k: int):
     return kmers, counts, counter.stats
 
 
-def map_sample(
-    kmers: np.ndarray, counts: np.ndarray, dev: DeviceIndex, cfg: CallConfig
-) -> MappingResult:
-    mcfg = dev.map_config(cfg.n_fixed, cfg.use_full_kmer)
-    T = dev.total_len
-    pileup = jnp.zeros((4, T + 1, 4), jnp.int32)
-    tallies = jnp.zeros((dev.num_genomes, 3), jnp.int32)
-
-    B = cfg.batch_size
+def _prepare_batches(kmers: np.ndarray, counts: np.ndarray, B: int):
+    """Pad to a power-of-two number of B-sized batches (few jit variants),
+    upload once; returns (kj, cj) device arrays shaped (nb, B)."""
     n = kmers.shape[0]
-    if len(mcfg.positions) > 0 and n > 0:
-        # pad to a power-of-two number of B-sized batches (few jit variants),
-        # single upload + single scan dispatch
-        nb = max(1, -(-n // B))
-        nb = 1 << (nb - 1).bit_length()
-        kb = np.zeros(nb * B, np.uint64)
-        cb = np.zeros(nb * B, np.int32)
-        kb[:n] = kmers
-        cb[:n] = counts
-        kj = jnp.asarray(kb.reshape(nb, B))
-        cj = jnp.asarray(cb.reshape(nb, B))
-        while True:
-            pileup, tallies, overflow = map_all_jit(
-                kj, cj, dev.keys, dev.offsets, dev.postings,
-                pileup, tallies, mcfg,
-            )
-            if not int(overflow):
-                break
-            # a batch exceeded the lane budget (heavy-tailed buckets);
-            # retry from scratch with a doubled budget — rare, exact
-            log.info("lane budget exceeded (factor %d); retrying with %d",
-                     mcfg.lane_factor, mcfg.lane_factor * 2)
-            from dataclasses import replace
+    nb = max(1, -(-n // B))
+    nb = 1 << (nb - 1).bit_length()
+    kb = np.zeros(nb * B, np.uint64)
+    cb = np.zeros(nb * B, np.int32)
+    kb[:n] = kmers
+    cb[:n] = counts
+    return jnp.asarray(kb.reshape(nb, B)), jnp.asarray(cb.reshape(nb, B))
 
-            mcfg = replace(mcfg, lane_factor=mcfg.lane_factor * 2)
-            pileup = jnp.zeros((4, T + 1, 4), jnp.int32)
-            tallies = jnp.zeros((dev.num_genomes, 3), jnp.int32)
-    # the pileup stays on device: only the selected genome's slices are
-    # pulled (host<->device bandwidth is the scarce resource)
-    return MappingResult(pileup, np.asarray(tallies).astype(np.int64))
+
+def run_tally_pass(kj, cj, dev: DeviceIndex, mcfg) -> np.ndarray:
+    """Pass 1: per-genome perfect/variant/unique tallies (genome selection).
+
+    Uses the per-bucket genome histogram when available (one gather per
+    bucket query); otherwise the flat-join with overflow retry."""
+    from dataclasses import replace
+
+    use_hist = dev.hist is not None
+    hist = dev.hist if use_hist else jnp.zeros(1, jnp.int64)
+    while True:
+        tallies = jnp.zeros((dev.num_genomes, 3), jnp.int32)
+        tallies, overflow = tally_all_jit(
+            kj, cj, dev.keys, dev.offsets, dev.postings, hist, tallies,
+            mcfg, use_hist,
+        )
+        if use_hist or not int(overflow):
+            return np.asarray(tallies).astype(np.int64)
+        log.info("tally lane budget exceeded (factor %d); retrying",
+                 mcfg.lane_factor)
+        mcfg = replace(mcfg, lane_factor=mcfg.lane_factor * 2)
+
+
+def run_pileup_pass(kj, cj, dev: DeviceIndex, best: int, mcfg):
+    """Pass 2: scatter the SELECTED genome's pileup only — pileup memory and
+    scatter lanes scale with one genome, not the whole panel."""
+    from dataclasses import replace
+
+    gcfg = replace(
+        mcfg,
+        total_len=dev.g_total_len,
+        max_bucket=dev.g_max_bucket,
+        lane_factor=min(max(4, dev.g_max_bucket), mcfg.lane_factor),
+    )
+    keys_g = dev.g_keys[best]
+    offsets_g = dev.g_offsets[best]
+    postings_g = dev.g_postings[best]
+    while True:
+        pileup = jnp.zeros((4, gcfg.total_len + 1, 4), jnp.int32)
+        pileup, overflow = pileup_all_jit(
+            kj, cj, keys_g, offsets_g, postings_g, pileup, gcfg)
+        if not int(overflow):
+            return pileup
+        log.info("pileup lane budget exceeded (factor %d); retrying",
+                 gcfg.lane_factor)
+        gcfg = replace(gcfg, lane_factor=gcfg.lane_factor * 2)
 
 
 def pick_best_genome(tallies: np.ndarray, dev: DeviceIndex) -> int | None:
@@ -188,11 +200,15 @@ def call_sample_variants(
     records: list[VCFRecord] = []
     seq_pileups: dict[str, tuple] = {}
     file_meta = index.files[best]
-    for sl in dev.slices_for_file(best):
+    slices = dev.slices_for_file(best)
+    file_base = min(s.offset for s in slices) if slices else 0
+    for sl in slices:
         seq_meta = file_meta.sequences[sl.seq_id]
-        # slice on device, transfer only this sequence's four planes
+        # pass-2 pileup is genome-local; slice on device, transfer only this
+        # sequence's four planes
         block = np.asarray(
-            jax.lax.dynamic_slice_in_dim(pileup, sl.offset, sl.length, axis=1)
+            jax.lax.dynamic_slice_in_dim(
+                pileup, sl.offset - file_base, sl.length, axis=1)
         )
         fwd_depth = block[PLANE_DEPTH_FWD]
         rev_depth = block[PLANE_DEPTH_REV]
@@ -233,14 +249,20 @@ def _process_one(
     cfg: CallConfig,
 ) -> tuple[SampleSummary, tuple[str, list[VCFRecord]]]:
     t0 = time.time()
-    result = map_sample(kmers, counts, dev, cfg)
-    log.info("Mapped %d kmers in %.2fs", kmers.shape[0], time.time() - t0)
+    mcfg = dev.map_config(cfg.n_fixed, cfg.use_full_kmer)
+    if len(mcfg.positions) == 0 or kmers.shape[0] == 0:
+        kj = cj = None
+        tallies = np.zeros((dev.num_genomes, 3), np.int64)
+    else:
+        kj, cj = _prepare_batches(kmers, counts, cfg.batch_size)
+        tallies = run_tally_pass(kj, cj, dev, mcfg)
+    log.info("Tallied %d kmers in %.2fs", kmers.shape[0], time.time() - t0)
 
-    best = pick_best_genome(result.tallies, dev)
+    best = pick_best_genome(tallies, dev)
     if best is None:
         log.error("Unable to pick a best genome")
         raise SystemExit(1)
-    n_perfect, n_variant, n_unique = (int(x) for x in result.tallies[best])
+    n_perfect, n_variant, n_unique = (int(x) for x in tallies[best])
     best_name = index.files[best].name
     log.info("Selected a representative genome: %s", best_name)
     n_unmapped = cstats.unique_counted_kmers - n_perfect - n_variant
@@ -255,7 +277,14 @@ def _process_one(
             "representative reference, a bad sequencing run, contamination in sample, or some other issue"
         )
 
-    records, stats, seq_pileups = call_sample_variants(index, dev, cfg, best, result.pileup)
+    t1 = time.time()
+    if kj is not None and dev.g_keys is not None:
+        pileup = run_pileup_pass(kj, cj, dev, best, mcfg)
+    else:
+        pileup = jnp.zeros((4, dev.g_total_len + 1, 4), jnp.int32)
+    log.info("Scattered pileup in %.2fs", time.time() - t1)
+
+    records, stats, seq_pileups = call_sample_variants(index, dev, cfg, best, pileup)
 
     if cfg.output_pileup:
         write_pileup(cfg.output, display_path, index.files[best], seq_pileups)

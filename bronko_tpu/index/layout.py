@@ -43,6 +43,18 @@ class DeviceIndex:
     max_bucket: int
     seq_slices: list[SeqSlice]
     genome_lens: np.ndarray  # (G,) int64
+    # two-pass acceleration structures:
+    # per-bucket per-genome posting-count histogram, packed 8 bits/genome
+    # (G <= 8 and max bucket <= 255 only; None otherwise)
+    hist: jnp.ndarray | None = None
+    # per-genome sub-index, padded to common shapes across genomes:
+    # g_keys (G, Ug) sentinel-padded, g_offsets (G, Ug+1),
+    # g_postings (G, Pg) with gpos local to the genome's own pileup space
+    g_keys: jnp.ndarray | None = None
+    g_offsets: jnp.ndarray | None = None
+    g_postings: jnp.ndarray | None = None
+    g_max_bucket: int = 1
+    g_total_len: int = 0   # padded per-genome pileup length
 
     def map_config(self, n_fixed: int, use_full_kmer: bool) -> MapConfig:
         positions = tuple(filtered_bucket_positions(self.k, n_fixed, use_full_kmer))
@@ -91,15 +103,79 @@ def build_device_index(index: BronkoIndex) -> DeviceIndex:
     postings = (gpos << 22) | pmeta
 
     genome_lens = np.asarray([f.total_len for f in index.files], np.int64)
+    G = len(index.files)
+    E = index.max_postings_per_bucket
+    U = index.num_buckets
+
+    # --- two-pass structures ---
+    # per-bucket per-genome histogram (tally pass needs 1 gather per query
+    # instead of 1 per posting lane)
+    hist = None
+    if 0 < G <= 8 and E <= 255 and meta.size:
+        bucket_of_post = np.repeat(np.arange(U, dtype=np.int64), np.diff(index.offsets))
+        h = np.zeros((U, G), np.int64)
+        np.add.at(h, (bucket_of_post, file_id), 1)
+        hist = jnp.asarray((h << (8 * np.arange(G, dtype=np.int64))).sum(axis=1))
+
+    # per-genome sub-index for the pileup pass (only the selected genome's
+    # postings are ever scattered)
+    g_keys = g_offsets = g_postings = None
+    g_max_bucket, g_total_len = 1, 0
+    if meta.size:
+        nposts = np.diff(index.offsets)
+        post_keys = np.repeat(index.keys, nposts)
+        # genome-local scatter position: offset of (fid, sid) within its file
+        local_tab = np.zeros((G, max_seq), np.int64)
+        for fid_ in range(G):
+            cur = 0
+            for sid_, s in enumerate(index.files[fid_].sequences):
+                if sid_ < max_seq:
+                    local_tab[fid_, sid_] = cur
+                cur += s.length
+        lpos = local_tab[file_id, seq_id] + index.post_loc.astype(np.int64) + idx
+        lpost = (lpos << 22) | (idx | (canon << 5) | (file_id << 6))
+        per_g = []
+        for fid_ in range(G):
+            sel = file_id == fid_
+            skeys = post_keys[sel]
+            order = np.argsort(skeys, kind="stable")
+            skeys = skeys[order]
+            spost = lpost[sel][order]
+            ukeys, start = np.unique(skeys, return_index=True)
+            soff = np.concatenate([start, [skeys.shape[0]]]).astype(np.int32)
+            per_g.append((ukeys, soff, spost))
+        U_max = max(1, max(p[0].shape[0] for p in per_g))
+        P_max = max(1, max(p[2].shape[0] for p in per_g))
+        gk = np.full((G, U_max), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+        go = np.zeros((G, U_max + 1), np.int32)
+        gp = np.zeros((G, P_max), np.int64)
+        for fid_, (ukeys, soff, spost) in enumerate(per_g):
+            u = ukeys.shape[0]
+            gk[fid_, :u] = ukeys
+            go[fid_, :u + 1] = soff
+            go[fid_, u + 1:] = soff[-1] if u else 0
+            gp[fid_, :spost.shape[0]] = spost
+            if u:
+                g_max_bucket = max(g_max_bucket, int(np.max(np.diff(soff[:u + 1]))))
+        g_keys = jnp.asarray(gk)
+        g_offsets = jnp.asarray(go)
+        g_postings = jnp.asarray(gp)
+        g_total_len = int(genome_lens.max())
 
     return DeviceIndex(
         k=index.k,
         keys=jnp.asarray(index.keys),
         offsets=jnp.asarray(index.offsets.astype(np.int32)),
         postings=jnp.asarray(postings),
-        num_genomes=len(index.files),
+        num_genomes=G,
         total_len=total_len,
-        max_bucket=index.max_postings_per_bucket,
+        max_bucket=E,
         seq_slices=seq_slices,
         genome_lens=genome_lens,
+        hist=hist,
+        g_keys=g_keys,
+        g_offsets=g_offsets,
+        g_postings=g_postings,
+        g_max_bucket=g_max_bucket,
+        g_total_len=g_total_len,
     )

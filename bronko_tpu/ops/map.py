@@ -186,6 +186,100 @@ def map_batch_jit(kmers, counts, keys, offsets, postings, pileup, tallies, cfg: 
     return map_batch(kmers, counts, keys, offsets, postings, pileup, tallies, cfg=cfg)
 
 
+def _probe(kmers, counts, keys, offsets, *, cfg: MapConfig):
+    """Shared probe front end: canonicalize, bucket, binary-search.
+
+    Returns (q_rowidx (B,J) int32, hit (B,J) bool, canon, is_rc)."""
+    k = cfg.k
+    U = keys.shape[0]
+    canon, is_rc = canonical(kmers, k, jnp)
+    buckets = assign_buckets(canon, k, jnp)
+    q = buckets[:, np.asarray(cfg.positions)]
+    ii = jnp.searchsorted(keys, q, method="sort")
+    ii_c = jnp.minimum(ii, U - 1).astype(jnp.int32)
+    hit = (keys[ii_c] == q) & (counts > 0)[:, None]
+    return ii_c, hit, canon, is_rc
+
+
+def tally_hist(kmers, counts, keys, offsets, hist, *, cfg: MapConfig):
+    """Tally pass via the per-bucket genome histogram: ONE int64 gather per
+    (kmer, bucket) query instead of one per posting lane. Valid for G <= 8
+    genomes with bucket sizes <= 255 (checked at index load)."""
+    G = cfg.num_genomes
+    ii_c, hit, _, _ = _probe(kmers, counts, keys, offsets, cfg=cfg)
+    h = jnp.where(hit, hist[ii_c], 0)                      # (B,J) packed counts
+    # unpack per bucket THEN sum over buckets (per-bucket bytes can't
+    # overflow — bucket size <= 255 — but a packed sum across J could)
+    shifts8 = jnp.arange(G, dtype=jnp.int64) * 8
+    per_g = (h[..., None] >> shifts8) & jnp.int64(0xFF)    # (B,J,G)
+    return per_g.sum(axis=1).astype(jnp.int32)             # (B,G)
+
+
+def tally_flat(kmers, counts, keys, offsets, postings, *, cfg: MapConfig):
+    """Tally pass without the histogram (any G): flat-join expansion of
+    posting fids only — no pileup work."""
+    B = kmers.shape[0]
+    J = len(cfg.positions)
+    N2 = B * J
+    LB = B * J * cfg.lane_factor
+    ii_c, hit, _, _ = _probe(kmers, counts, keys, offsets, cfg=cfg)
+    startf = offsets[ii_c].reshape(N2)
+    endf = offsets[ii_c + 1].reshape(N2)
+    lens = jnp.where(hit.reshape(N2), endf - startf, 0)
+    cum = jnp.cumsum(lens, dtype=jnp.int32)
+    diff = startf - (cum - lens)
+    lane_ids = jnp.arange(LB, dtype=jnp.int32)
+    own = jnp.searchsorted(cum, lane_ids, side="right", method="sort")
+    own_c = jnp.minimum(own, N2 - 1).astype(jnp.int32)
+    lane_valid = lane_ids < jnp.minimum(cum[-1], LB)
+    pidx = jnp.where(lane_valid, lane_ids + diff[own_c], 0)
+    fid = (postings[pidx] & 0x3FFFFF).astype(jnp.int32) >> 6
+    hits = jnp.zeros((B, cfg.num_genomes), jnp.int32).at[own_c // J, fid].add(
+        lane_valid.astype(jnp.int32), mode="drop")
+    overflow = (cum[-1] > LB).astype(jnp.int32)
+    return hits, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_hist"), donate_argnums=(6,))
+def tally_all_jit(kmers, counts, keys, offsets, postings, hist, tallies,
+                  cfg: MapConfig, use_hist: bool):
+    """Pass 1: per-genome tallies over (nb, B) batches, single dispatch."""
+    nb_pos = len(cfg.positions)
+
+    def body(carry, batch):
+        tl, ov = carry
+        km, ct = batch
+        if use_hist:
+            hits = tally_hist(km, ct, keys, offsets, hist, cfg=cfg)
+            ov2 = jnp.int32(0)
+        else:
+            hits, ov2 = tally_flat(km, ct, keys, offsets, postings, cfg=cfg)
+        tl = tl + classify_tallies(hits, ct > 0, nb_pos)
+        return (tl, ov | ov2), None
+
+    (tallies, overflow), _ = jax.lax.scan(
+        body, (tallies, jnp.int32(0)), (kmers, counts))
+    return tallies, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(5,))
+def pileup_all_jit(kmers, counts, keys_g, offsets_g, postings_g, pileup, cfg: MapConfig):
+    """Pass 2: scatter the selected genome's pileup over (nb, B) batches.
+
+    keys_g/offsets_g/postings_g are the genome's sub-index rows; gpos in
+    postings_g is local to the genome's pileup space (cfg.total_len =
+    padded per-genome length)."""
+
+    def body(pl, batch):
+        km, ct = batch
+        pl, _hits, ov = probe_scatter(km, ct, keys_g, offsets_g, postings_g,
+                                      pl, cfg=cfg)
+        return pl, ov
+
+    pileup, ovs = jax.lax.scan(body, pileup, (kmers, counts))
+    return pileup, jnp.max(ovs)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(5, 6))
 def map_all_jit(kmers, counts, keys, offsets, postings, pileup, tallies, cfg: MapConfig):
     """Map (nb, B) pre-batched k-mers in a single dispatch via lax.scan —

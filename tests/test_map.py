@@ -152,3 +152,84 @@ def test_overflow_flag(tmp_path):
         jnp.asarray(kmers), jnp.asarray(counts), dev.keys, dev.offsets,
         dev.postings, pileup, tallies, mcfg)
     assert int(overflow) == 1
+
+
+def test_tally_hist_matches_flat_and_oracle(tmp_path):
+    """Histogram tally pass (G<=8) must equal the flat-join tallies and the
+    scalar oracle."""
+    from bronko_tpu.ops.map import tally_all_jit
+
+    rng = np.random.default_rng(21)
+    k = 21
+    files = [(f"g{i}", [(f"s{i}", random_genome(rng, 260 + 20 * i))]) for i in range(5)]
+    index = make_index(tmp_path, files, k)
+    dev = build_device_index(index)
+    assert dev.hist is not None
+    mcfg = dev.map_config(2, False)
+    kmer_counts = sample_kmers(rng, files, k, n_exact=120, n_mut=60, n_junk=10)
+    kmers = np.asarray([kc[0] for kc in kmer_counts], np.uint64)
+    counts = np.asarray([kc[1] for kc in kmer_counts], np.int32)
+    B = 128
+    nb = -(-len(kmers) // B)
+    kb = np.zeros(nb * B, np.uint64); kb[:len(kmers)] = kmers
+    cb = np.zeros(nb * B, np.int32); cb[:len(counts)] = counts
+    kj = jnp.asarray(kb.reshape(nb, B)); cj = jnp.asarray(cb.reshape(nb, B))
+
+    t0 = jnp.zeros((dev.num_genomes, 3), jnp.int32)
+    t_hist, ov1 = tally_all_jit(kj, cj, dev.keys, dev.offsets, dev.postings,
+                                dev.hist, t0, mcfg, True)
+    t1 = jnp.zeros((dev.num_genomes, 3), jnp.int32)
+    t_flat, ov2 = tally_all_jit(kj, cj, dev.keys, dev.offsets, dev.postings,
+                                jnp.zeros(1, jnp.int64), t1, mcfg, False)
+    assert int(ov2) == 0
+    assert np.array_equal(np.asarray(t_hist), np.asarray(t_flat))
+
+    from tests.oracle.map_oracle import build_oracle_index, map_kmers_oracle
+    oracle_idx = build_oracle_index(k, files)
+    _, o_tallies = map_kmers_oracle(kmer_counts, oracle_idx)
+    for fid in range(len(files)):
+        assert np.asarray(t_hist)[fid].tolist() == o_tallies.get(fid, [0, 0, 0])
+
+
+def test_pileup_pass_matches_oracle(tmp_path):
+    """Pass-2 per-genome pileup must equal the oracle's pileup for that genome."""
+    from bronko_tpu.ops.map import pileup_all_jit
+    from tests.oracle.map_oracle import build_oracle_index, map_kmers_oracle
+
+    rng = np.random.default_rng(22)
+    k = 21
+    files = [(f"g{i}", [(f"s{i}a", random_genome(rng, 250)),
+                        (f"s{i}b", random_genome(rng, 150))]) for i in range(3)]
+    index = make_index(tmp_path, files, k)
+    dev = build_device_index(index)
+    mcfg = dev.map_config(2, False)
+    kmer_counts = sample_kmers(rng, files, k, n_exact=150, n_mut=80, n_junk=10)
+    oracle_idx = build_oracle_index(k, files)
+    o_maps, _ = map_kmers_oracle(kmer_counts, oracle_idx)
+
+    kmers = np.asarray([kc[0] for kc in kmer_counts], np.uint64)
+    counts = np.asarray([kc[1] for kc in kmer_counts], np.int32)
+    B = 128
+    nb = -(-len(kmers) // B)
+    kb = np.zeros(nb * B, np.uint64); kb[:len(kmers)] = kmers
+    cb = np.zeros(nb * B, np.int32); cb[:len(counts)] = counts
+    kj = jnp.asarray(kb.reshape(nb, B)); cj = jnp.asarray(cb.reshape(nb, B))
+
+    from dataclasses import replace
+    for best in range(3):
+        gcfg = replace(mcfg, total_len=dev.g_total_len,
+                       max_bucket=dev.g_max_bucket, lane_factor=mcfg.lane_factor)
+        pileup = jnp.zeros((4, gcfg.total_len + 1, 4), jnp.int32)
+        pileup, ov = pileup_all_jit(kj, cj, dev.g_keys[best], dev.g_offsets[best],
+                                    dev.g_postings[best], pileup, gcfg)
+        assert int(ov) == 0
+        pileup = np.asarray(pileup)
+        base = 0
+        for sname, seq in files[best][1]:
+            om = o_maps[best][sname]
+            L = len(seq)
+            assert np.array_equal(pileup[0, base:base+L], om["fwd"]), (best, sname)
+            assert np.array_equal(pileup[1, base:base+L], om["rev"])
+            assert np.array_equal(pileup[2, base:base+L], om["fwd_cnt"])
+            assert np.array_equal(pileup[3, base:base+L], om["rev_cnt"])
+            base += L
