@@ -152,11 +152,14 @@ def run_pileup_pass(kj, cj, dev: DeviceIndex, best: int, mcfg):
     scatter lanes scale with one genome, not the whole panel."""
     from dataclasses import replace
 
+    # a single genome's sub-index has ~1 posting per hit bucket, so the
+    # expected lane load is ~1 per query; start tight and let the exact
+    # overflow retry widen if a repeat-heavy genome needs it
     gcfg = replace(
         mcfg,
         total_len=dev.g_total_len,
         max_bucket=dev.g_max_bucket,
-        lane_factor=min(max(4, dev.g_max_bucket), mcfg.lane_factor),
+        lane_factor=2,
     )
     keys_g = dev.g_keys[best]
     offsets_g = dev.g_offsets[best]

@@ -84,7 +84,7 @@ class CallConfig:
     debug: bool = False
     verbose: bool = False
     # TPU-specific knobs (no reference equivalent)
-    batch_size: int = 1 << 17
+    batch_size: int = 1 << 18
     chunk_reads: int = 1 << 18
     counter: str = "auto"  # 'auto' | 'host' (C++ hash) | 'device' (TPU sort)
 
