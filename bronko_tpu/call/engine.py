@@ -299,42 +299,81 @@ def _process_one(
     return summary, (display_path, records)
 
 
+def _count_job(paths: list[str], cfg: CallConfig, k: int):
+    """Count one sample (single-end: [r]; paired: [r1, r2] concatenated —
+    semantics identical to the reference's two map_kmers passes into shared
+    pileups, call.rs:301-320)."""
+    parts = [count_sample(p, cfg, k) for p in paths]
+    kmers = np.concatenate([p[0] for p in parts])
+    counts = np.concatenate([p[1] for p in parts])
+    cstats = CountStats(
+        total_reads=sum(p[2].total_reads for p in parts),
+        total_kmers=sum(p[2].total_kmers for p in parts),
+        unique_kmers=sum(p[2].unique_kmers for p in parts),
+        unique_counted_kmers=sum(p[2].unique_counted_kmers for p in parts),
+    )
+    return kmers, counts, cstats
+
+
 def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[SampleSummary]:
     import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bronko_tpu.utils.memory import log_memory_usage
 
     os.makedirs(cfg.output, exist_ok=True)
     summaries: list[SampleSummary] = []
     variant_info: list[tuple[str, list[VCFRecord]]] = []
+    failures: list[str] = []
 
-    for path in cfg.reads:
-        log.info("Processing %s", path)
-        kmers, counts, cstats = count_sample(path, cfg, index.k)
-        log.info("%d reads counted from %s", cstats.total_reads, path)
-        log.info(
-            "%d unique kmers above %d count, %d total unique kmers, %d total kmers (~%d basepairs)",
-            cstats.unique_counted_kmers, cfg.min_kmers, cstats.unique_kmers,
-            cstats.total_kmers, cstats.total_kmers * index.k,
-        )
-        summary, vinfo = _process_one(path, kmers, counts, cstats, index, dev, cfg)
-        summaries.append(summary)
-        variant_info.append(vinfo)
+    jobs = [[p] for p in cfg.reads] + [
+        [r1, r2] for r1, r2 in zip(cfg.first_pairs, cfg.second_pairs)
+    ]
 
-    for r1, r2 in zip(cfg.first_pairs, cfg.second_pairs):
-        log.info("Processing paired reads %s, %s", r1, r2)
-        k1, c1, s1 = count_sample(r1, cfg, index.k)
-        k2, c2, s2 = count_sample(r2, cfg, index.k)
-        cstats = CountStats(
-            total_reads=s1.total_reads + s2.total_reads,
-            total_kmers=s1.total_kmers + s2.total_kmers,
-            unique_kmers=s1.unique_kmers + s2.unique_kmers,
-            unique_counted_kmers=s1.unique_counted_kmers + s2.unique_counted_kmers,
-        )
-        log.info("%d reads counted from %s", cstats.total_reads, r1)
-        kmers = np.concatenate([k1, k2])
-        counts = np.concatenate([c1, c2])
-        summary, vinfo = _process_one(r1, kmers, counts, cstats, index, dev, cfg)
-        summaries.append(summary)
-        variant_info.append(vinfo)
+    # host counting (C++, GIL-free) prefetches the next sample while the
+    # device maps the current one — the reference's rayon-join concurrency
+    # (call.rs:301-307) generalized across the sample stream
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        futures = []
+        for job in jobs:
+            futures.append(pool.submit(_count_job, job, cfg, index.k))
+        for job, fut in zip(jobs, futures):
+            display = job[0]
+            label = display if len(job) == 1 else f"{job[0]}, {job[1]}"
+            log.info("Processing %s", label)
+            try:
+                kmers, counts, cstats = fut.result()
+                log.info("%d reads counted from %s", cstats.total_reads, display)
+                log.info(
+                    "%d unique kmers above %d count, %d total unique kmers, "
+                    "%d total kmers (~%d basepairs)",
+                    cstats.unique_counted_kmers, cfg.min_kmers, cstats.unique_kmers,
+                    cstats.total_kmers, cstats.total_kmers * index.k,
+                )
+                log_memory_usage("Finished counting kmers")
+                if cfg.keep_kmer_counts:
+                    from bronko_tpu.io.naming import clean_sample_id
+                    from bronko_tpu.ops.codec import kmer_to_string
+
+                    dump = os.path.join(
+                        cfg.output, clean_sample_id(display) + "_counts.txt")
+                    with open(dump, "w") as fh:
+                        for km, ct in zip(kmers.tolist(), counts.tolist()):
+                            fh.write(f"{kmer_to_string(km, index.k)}\t{ct}\n")
+                summary, vinfo = _process_one(
+                    display, kmers, counts, cstats, index, dev, cfg)
+                summaries.append(summary)
+                variant_info.append(vinfo)
+                log_memory_usage("Called variants successfully")
+            except SystemExit:
+                raise
+            except Exception:  # noqa: BLE001 — per-sample isolation
+                log.exception("Sample %s failed; continuing with remaining samples", label)
+                failures.append(display)
+
+    if failures and not summaries:
+        log.error("All samples failed")
+        raise SystemExit(1)
 
     log.info("Printing overview")
     write_overview(cfg.output, summaries)

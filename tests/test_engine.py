@@ -122,3 +122,19 @@ def test_device_counter_path(synth):
     ov_h = open(os.path.join(out_h, "bronko_overview.tsv")).read()
     ov_d = open(os.path.join(out_d, "bronko_overview.tsv")).read()
     assert ov_h == ov_d
+
+
+def test_keep_kmer_info_and_isolation(synth, tmp_path):
+    tmp, ref, fq, genome, alts = synth
+    out = str(tmp_path / "outk")
+    bad = str(tmp_path / "missing.fastq.gz")
+    cfg = small_cfg(genomes=[ref], reads=[bad, fq], output=out,
+                    keep_kmer_counts=True)
+    index = build_index(cfg.kmer, [ref])
+    dev = build_device_index(index)
+    summaries = run_call(cfg, index, dev)  # bad sample isolated, good processed
+    assert len(summaries) == 1
+    dump = os.path.join(out, "samp_counts.txt")
+    assert os.path.exists(dump)
+    line = open(dump).readline().split()
+    assert len(line[0]) == 21 and int(line[1]) >= cfg.min_kmers
