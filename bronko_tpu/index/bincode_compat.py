@@ -1,0 +1,146 @@
+"""Reader for the reference bronko's bincode .bkdb databases.
+
+The reference serializes BronkoIndex{k, FxHashMap<u64, Vec<BucketInfo>>,
+ViralMetadata} with bincode's standard config (build.rs:122-143): little-
+endian, variable-length integer encoding. This loader lets existing bronko
+databases be used directly with bronko-tpu.
+
+Bincode 2 standard-config wire format:
+  * unsigned ints (u16/u32/u64/usize): varint — one byte < 251, or a
+    discriminant byte 251/252/253 followed by a LE u16/u32/u64;
+  * u8: single raw byte; bool: 1 byte;
+  * collections/strings: varint length then elements/UTF-8 bytes;
+  * struct fields in declaration order.
+
+Schema (build.rs:23-60):
+  BronkoIndex { k: usize, global_index: Map<u64, Vec<BucketInfo>>,
+                metadata: ViralMetadata }
+  BucketInfo  { file_id: u16, seq_id: u8, location: u32, idx: u8,
+                canonical: bool }
+  ViralMetadata { files: Vec<FileMeta>, k: usize }
+  FileMeta    { name: String, sequences: Vec<SeqMeta> }
+  SeqMeta     { name: String, len: usize, seq: Vec<u8> }
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from bronko_tpu.index.model import BronkoIndex, FileMeta, SeqMeta, pack_meta
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def byte(self) -> int:
+        b = self.buf[self.pos]
+        self.pos += 1
+        return b
+
+    def varint(self) -> int:
+        b = self.buf[self.pos]
+        self.pos += 1
+        if b < 251:
+            return b
+        if b == 251:
+            v = struct.unpack_from("<H", self.buf, self.pos)[0]
+            self.pos += 2
+            return v
+        if b == 252:
+            v = struct.unpack_from("<I", self.buf, self.pos)[0]
+            self.pos += 4
+            return v
+        if b == 253:
+            v = struct.unpack_from("<Q", self.buf, self.pos)[0]
+            self.pos += 8
+            return v
+        raise ValueError(f"unsupported varint discriminant {b}")
+
+    def bytes_(self, n: int) -> bytes:
+        out = self.buf[self.pos:self.pos + n]
+        self.pos += n
+        return out
+
+    def string(self) -> str:
+        return self.bytes_(self.varint()).decode()
+
+
+def load_reference_bkdb(path: str) -> BronkoIndex:
+    with open(path, "rb") as fh:
+        r = _Reader(fh.read())
+
+    k = r.varint()
+
+    n_buckets = r.varint()
+    keys = np.empty(n_buckets, np.uint64)
+    lists: list[tuple[int, np.ndarray]] = []
+    # postings accumulate as (key_rank, structured columns)
+    all_fid, all_sid, all_loc, all_idx, all_can = [], [], [], [], []
+    bucket_sizes = np.empty(n_buckets, np.int64)
+    for i in range(n_buckets):
+        keys[i] = r.varint()
+        n = r.varint()
+        bucket_sizes[i] = n
+        fid = np.empty(n, np.uint32)
+        sid = np.empty(n, np.uint32)
+        loc = np.empty(n, np.uint32)
+        idxa = np.empty(n, np.uint32)
+        can = np.empty(n, np.uint32)
+        for j in range(n):
+            fid[j] = r.varint()     # u16
+            sid[j] = r.byte()       # u8
+            loc[j] = r.varint()     # u32
+            idxa[j] = r.byte()      # u8
+            can[j] = r.byte()       # bool
+        all_fid.append(fid)
+        all_sid.append(sid)
+        all_loc.append(loc)
+        all_idx.append(idxa)
+        all_can.append(can)
+
+    # metadata
+    n_files = r.varint()
+    files: list[FileMeta] = []
+    for _ in range(n_files):
+        name = r.string()
+        n_seqs = r.varint()
+        seqs = []
+        for _ in range(n_seqs):
+            sname = r.string()
+            slen = r.varint()
+            sbytes = r.bytes_(r.varint())
+            seqs.append(SeqMeta(sname, slen, sbytes))
+        files.append(FileMeta(name, seqs))
+    _meta_k = r.varint()
+
+    # assemble sorted-CSR (hashmap order -> sorted key order, stable)
+    fid = np.concatenate(all_fid) if all_fid else np.empty(0, np.uint32)
+    sid = np.concatenate(all_sid) if all_sid else np.empty(0, np.uint32)
+    loc = np.concatenate(all_loc) if all_loc else np.empty(0, np.uint32)
+    idxa = np.concatenate(all_idx) if all_idx else np.empty(0, np.uint32)
+    can = np.concatenate(all_can) if all_can else np.empty(0, np.uint32)
+    post_key = np.repeat(keys, bucket_sizes)
+
+    order = np.argsort(post_key, kind="stable")
+    post_key = post_key[order]
+    post_loc = loc[order]
+    post_meta = pack_meta(idxa[order], sid[order], fid[order], can[order])
+
+    uniq, start = np.unique(post_key, return_index=True)
+    offsets = np.concatenate([start.astype(np.int64), [post_key.shape[0]]])
+
+    return BronkoIndex(k=k, keys=uniq, offsets=offsets,
+                       post_loc=post_loc, post_meta=post_meta, files=files)
+
+
+def sniff_format(path: str) -> str:
+    """'npz' for bronko-tpu databases, 'bincode' for reference databases."""
+    with open(path, "rb") as fh:
+        magic = fh.read(4)
+    return "npz" if magic[:2] == b"PK" else "bincode"

@@ -44,6 +44,17 @@ def save_index(path: str, index: BronkoIndex) -> None:
 
 
 def load_index(path: str, expect_k: int | None = None) -> BronkoIndex:
+    from bronko_tpu.index.bincode_compat import load_reference_bkdb, sniff_format
+
+    if sniff_format(path) == "bincode":
+        # a database produced by the reference bronko binary
+        index = load_reference_bkdb(path)
+        if expect_k is not None and index.k != expect_k:
+            raise ValueError(
+                f"Database k is not the same as provided, please set -k to "
+                f"{index.k} or build a new index"
+            )
+        return index
     with open(path, "rb") as fh:
         data = np.load(io.BytesIO(fh.read()), allow_pickle=False)
     meta = json.loads(bytes(data["meta"]).decode())

@@ -77,3 +77,36 @@ def test_sars2_strain_selection(tmp_path):
     # near-zero variants against the matching strain
     assert summaries[0].stats.num_major <= 2
     assert summaries[0].stats.breadth > 0.9
+
+
+def test_reference_bkdb_compat(tmp_path):
+    """The reference binary's own bincode hpv.bkdb loads bit-identically to
+    an index built from the same FASTA, and drives a full call."""
+    from bronko_tpu.index.store import load_index
+
+    db = os.path.join(FIXTURES, "hpv.bkdb")
+    idx = load_index(db)
+    assert idx.k == 21
+    ours = build_index(21, [os.path.join(FIXTURES, "HPV16.fa")])
+    assert np.array_equal(idx.keys, ours.keys)
+    assert np.array_equal(idx.post_loc, ours.post_loc)
+    assert np.array_equal(idx.post_meta, ours.post_meta)
+    assert idx.files[0].sequences[0].seq == ours.files[0].sequences[0].seq
+
+    with pytest.raises(ValueError, match="Database k"):
+        load_index(db, expect_k=19)
+
+    genome = idx.files[0].sequences[0].seq.upper()
+    rng = np.random.default_rng(7)
+    reads, alts = make_sample(genome, rng, read_len=100, depth=50,
+                              major_positions={3000: 0.9})
+    fq = str(tmp_path / "h.fastq.gz")
+    write_fastq(fq, reads)
+    out = str(tmp_path / "out")
+    cfg = CallConfig(db=db, reads=[fq], output=out,
+                     batch_size=1 << 15, chunk_reads=1 << 14)
+    dev = build_device_index(idx)
+    summaries = run_call(cfg, idx, dev)
+    assert summaries[0].selected_genome == "HPV16"
+    vcf = open(os.path.join(out, "h.vcf")).read()
+    assert "\t3001\t" in vcf
