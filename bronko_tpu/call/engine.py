@@ -71,7 +71,8 @@ def count_sample(path: str, cfg: CallConfig, k: int) -> tuple[np.ndarray, np.nda
                 from bronko_tpu.consts import KMER_COUNT_CAP
 
                 kmers, counts, st = native_count_fastq(
-                    path, k, cfg.min_kmers, KMER_COUNT_CAP)
+                    path, k, cfg.min_kmers, KMER_COUNT_CAP,
+                    threads=max(1, cfg.threads))
                 return kmers, counts, CountStats(**st)
         except Exception as e:  # noqa: BLE001
             if cfg.counter == "host":

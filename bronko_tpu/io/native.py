@@ -69,7 +69,7 @@ def get_lib():
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         ]
         lib.bronko_counter_create.restype = ctypes.c_void_p
-        lib.bronko_counter_create.argtypes = [ctypes.c_int]
+        lib.bronko_counter_create.argtypes = [ctypes.c_int, ctypes.c_int]
         lib.bronko_counter_destroy.argtypes = [ctypes.c_void_p]
         lib.bronko_counter_count_fastq.restype = ctypes.c_int
         lib.bronko_counter_count_fastq.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
@@ -77,11 +77,12 @@ def get_lib():
             f = getattr(lib, f"bronko_counter_{fn}")
             f.restype = ctypes.c_int64
             f.argtypes = [ctypes.c_void_p]
-        lib.bronko_counter_unique_counted.restype = ctypes.c_int64
-        lib.bronko_counter_unique_counted.argtypes = [ctypes.c_void_p, ctypes.c_uint32]
+        lib.bronko_counter_finalize.restype = ctypes.c_int64
+        lib.bronko_counter_finalize.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32]
         lib.bronko_counter_extract.restype = None
         lib.bronko_counter_extract.argtypes = [
-            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_void_p,
             np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
         ]
@@ -89,30 +90,32 @@ def get_lib():
         return _lib
 
 
-def native_count_fastq(path: str, k: int, min_count: int, count_cap: int):
-    """Count a FASTQ file's k-mers entirely in C++.
+def native_count_fastq(path: str, k: int, min_count: int, count_cap: int,
+                       threads: int = 4):
+    """Count a FASTQ file's k-mers entirely in C++ (multithreaded pipeline).
 
     Returns (kmers u64 sorted, counts int64, stats dict). Matches KMC -b
     -ci<min> -cs<cap> semantics like ops/count.KmerCounter.
     """
     lib = get_lib()
     assert lib is not None
-    h = lib.bronko_counter_create(k)
+    h = lib.bronko_counter_create(k, threads)
     try:
         rc = lib.bronko_counter_count_fastq(h, path.encode())
         if rc == -1:
             raise OSError(f"cannot open {path}")
         if rc != 0:
             raise ValueError(f"malformed FASTQ: {path}")
-        n = lib.bronko_counter_unique_counted(h, min_count)
+        n = int(lib.bronko_counter_finalize(h, min_count, count_cap))
         kmers = np.empty(n, np.uint64)
         counts = np.empty(n, np.uint32)
-        lib.bronko_counter_extract(h, min_count, count_cap, kmers, counts)
+        if n:
+            lib.bronko_counter_extract(h, kmers, counts)
         stats = dict(
             total_reads=int(lib.bronko_counter_total_reads(h)),
             total_kmers=int(lib.bronko_counter_total_kmers(h)),
             unique_kmers=int(lib.bronko_counter_unique(h)),
-            unique_counted_kmers=int(n),
+            unique_counted_kmers=n,
         )
         return kmers, counts.astype(np.int64), stats
     finally:

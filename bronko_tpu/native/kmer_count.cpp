@@ -2,56 +2,43 @@
 //
 // Counts non-canonical k-mers (KMC -b) from FASTQ, skipping windows that
 // contain non-ACGT bases, flooring at ci and capping at cs
-// (reference invocation: call.rs:1166-1181). Open-addressing hash table
-// with linear probing and power-of-two growth; single pass over the file
-// via the same zlib reader as fastq_reader.cpp.
+// (reference invocation: call.rs:1166-1181).
 //
-// This is the IO-optimal front end when host<->device bandwidth is scarce:
-// only the unique (k-mer, count) pairs ship to the device mapper. The
-// device-side sort-based counter (ops/count.py) remains the TPU-native
-// path when reads are already device-resident.
+// Parallel pipeline: one reader thread decompresses and splits records into
+// sequence batches; N counter threads consume whole batches into private
+// open-addressing tables; finalize() merges tables by sort. This is the
+// IO-optimal front end when host<->device bandwidth is scarce: only the
+// unique (k-mer, count) pairs ship to the device mapper.
 
 #include <zlib.h>
 
 #include <algorithm>
+#include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <deque>
+#include <mutex>
+#include <thread>
 #include <vector>
 
 namespace {
 
-struct Counter {
-  int k = 21;
+struct Table {
   std::vector<uint64_t> keys;
   std::vector<uint32_t> vals;
   size_t mask = 0;
   size_t used = 0;
-  int64_t total_reads = 0;
-  int64_t total_kmers = 0;
-  unsigned char code[256];
 
   static constexpr uint64_t kEmpty = ~0ull;
 
-  explicit Counter(int k_) : k(k_) {
-    memset(code, 4, sizeof(code));
-    code[(unsigned char)'A'] = 0; code[(unsigned char)'a'] = 0;
-    code[(unsigned char)'C'] = 1; code[(unsigned char)'c'] = 1;
-    code[(unsigned char)'G'] = 2; code[(unsigned char)'g'] = 2;
-    code[(unsigned char)'T'] = 3; code[(unsigned char)'t'] = 3;
-    resize(1ull << 22);
-  }
+  Table() { reset(1ull << 20); }
 
-  void resize(size_t n) {
-    std::vector<uint64_t> old_keys = std::move(keys);
-    std::vector<uint32_t> old_vals = std::move(vals);
+  void reset(size_t n) {
     keys.assign(n, kEmpty);
     vals.assign(n, 0);
     mask = n - 1;
-    if (!old_keys.empty()) {
-      for (size_t i = 0; i < old_keys.size(); ++i) {
-        if (old_keys[i] != kEmpty) insert_raw(old_keys[i], old_vals[i]);
-      }
-    }
+    used = 0;
   }
 
   static inline uint64_t mix(uint64_t z) {
@@ -60,22 +47,68 @@ struct Counter {
     return z ^ (z >> 31);
   }
 
-  inline void insert_raw(uint64_t key, uint32_t add) {
+  void grow() {
+    std::vector<uint64_t> ok = std::move(keys);
+    std::vector<uint32_t> ov = std::move(vals);
+    keys.assign(ok.size() * 2, kEmpty);
+    vals.assign(ok.size() * 2, 0);
+    mask = keys.size() - 1;
+    used = 0;
+    for (size_t i = 0; i < ok.size(); ++i)
+      if (ok[i] != kEmpty) insert(ok[i], ov[i]);
+  }
+
+  inline void insert(uint64_t key, uint32_t add) {
     size_t i = mix(key) & mask;
     while (true) {
       if (keys[i] == key) { vals[i] += add; return; }
-      if (keys[i] == kEmpty) { keys[i] = key; vals[i] = add; ++used; return; }
+      if (keys[i] == kEmpty) {
+        keys[i] = key; vals[i] = add;
+        if (++used * 5 > keys.size() * 3) grow();
+        return;
+      }
       i = (i + 1) & mask;
     }
   }
+};
 
-  inline void add(uint64_t key) {
-    insert_raw(key, 1);
-    ++total_kmers;
-    if (used * 5 > keys.size() * 3) resize(keys.size() * 2);  // load > 0.6
+struct Batch {
+  std::vector<char> seq;       // concatenated sequences
+  std::vector<int32_t> lens;   // per-read lengths
+};
+
+struct Counter {
+  int k = 21;
+  int n_threads = 1;
+  std::vector<Table> tables;
+  std::vector<int64_t> thread_kmers;
+  int64_t total_reads = 0;
+  unsigned char code[256];
+
+  // merged output
+  std::vector<uint64_t> out_keys;
+  std::vector<uint32_t> out_vals;
+  int64_t n_unique = 0;
+  bool finalized = false;
+
+  // pipeline state
+  std::mutex mu;
+  std::condition_variable cv_put, cv_get;
+  std::deque<Batch> queue;
+  bool done = false;
+  static constexpr size_t kMaxQueue = 8;
+
+  explicit Counter(int k_, int threads) : k(k_), n_threads(threads) {
+    memset(code, 4, sizeof(code));
+    code[(unsigned char)'A'] = 0; code[(unsigned char)'a'] = 0;
+    code[(unsigned char)'C'] = 1; code[(unsigned char)'c'] = 1;
+    code[(unsigned char)'G'] = 2; code[(unsigned char)'g'] = 2;
+    code[(unsigned char)'T'] = 3; code[(unsigned char)'t'] = 3;
+    tables.resize(n_threads);
+    thread_kmers.assign(n_threads, 0);
   }
 
-  void count_seq(const char* s, int64_t len) {
+  void count_seq(Table& t, int64_t& nk, const char* s, int64_t len) {
     const uint64_t kmask = (k < 32) ? ((1ull << (2 * k)) - 1) : ~0ull;
     uint64_t cur = 0;
     int valid = 0;
@@ -83,18 +116,45 @@ struct Counter {
       unsigned char b = code[(unsigned char)s[i]];
       if (b >= 4) { valid = 0; cur = 0; continue; }
       cur = ((cur << 2) | b) & kmask;
-      if (++valid >= k) add(cur);
+      if (++valid >= k) { t.insert(cur, 1); ++nk; }
+    }
+  }
+
+  void worker(int tid) {
+    Table& t = tables[tid];
+    int64_t& nk = thread_kmers[tid];
+    while (true) {
+      Batch batch;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_get.wait(lk, [&] { return !queue.empty() || done; });
+        if (queue.empty()) return;
+        batch = std::move(queue.front());
+        queue.pop_front();
+      }
+      cv_put.notify_one();
+      const char* p = batch.seq.data();
+      for (int32_t len : batch.lens) {
+        count_seq(t, nk, p, len);
+        p += len;
+      }
     }
   }
 };
 
 constexpr size_t kReadBlock = 8 << 20;
+constexpr size_t kBatchBases = 4 << 20;
 
 }  // namespace
 
 extern "C" {
 
-void* bronko_counter_create(int k) { return new Counter(k); }
+void* bronko_counter_create(int k, int threads) {
+  if (threads < 1) threads = 1;
+  if (threads > 16) threads = 16;
+  return new Counter(k, threads);
+}
+
 void bronko_counter_destroy(void* h) { delete static_cast<Counter*>(h); }
 
 // Stream one FASTQ file (gz or plain) through the counter.
@@ -105,10 +165,27 @@ int bronko_counter_count_fastq(void* h, const char* path) {
   if (!gz) return -1;
   gzbuffer(gz, 1 << 20);
 
+  c->done = false;
+  std::vector<std::thread> workers;
+  for (int t = 0; t < c->n_threads; ++t)
+    workers.emplace_back([c, t] { c->worker(t); });
+
   std::vector<char> buf;
   size_t pos = 0;
   bool eof = false;
   int rc = 0;
+  Batch cur;
+
+  auto flush_batch = [&]() {
+    if (cur.lens.empty()) return;
+    {
+      std::unique_lock<std::mutex> lk(c->mu);
+      c->cv_put.wait(lk, [&] { return c->queue.size() < Counter::kMaxQueue; });
+      c->queue.push_back(std::move(cur));
+    }
+    c->cv_get.notify_one();
+    cur = Batch();
+  };
 
   auto refill = [&]() {
     if (pos > 0) { buf.erase(buf.begin(), buf.begin() + pos); pos = 0; }
@@ -147,43 +224,69 @@ int bronko_counter_count_fastq(void* h, const char* path) {
     const char* seq_start = nl[0] + 1;
     const char* seq_end = nl[1];
     while (seq_end > seq_start && seq_end[-1] == '\r') --seq_end;
-    c->count_seq(seq_start, seq_end - seq_start);
+    cur.seq.insert(cur.seq.end(), seq_start, seq_end);
+    cur.lens.push_back((int32_t)(seq_end - seq_start));
     ++c->total_reads;
     pos += scanned;
+    if (cur.seq.size() >= kBatchBases) flush_batch();
   }
+  flush_batch();
+  {
+    std::lock_guard<std::mutex> lk(c->mu);
+    c->done = true;
+  }
+  c->cv_get.notify_all();
+  for (auto& w : workers) w.join();
   gzclose(gz);
   return rc;
 }
 
-int64_t bronko_counter_total_reads(void* h) { return static_cast<Counter*>(h)->total_reads; }
-int64_t bronko_counter_total_kmers(void* h) { return static_cast<Counter*>(h)->total_kmers; }
-int64_t bronko_counter_unique(void* h) { return (int64_t)static_cast<Counter*>(h)->used; }
+// Merge per-thread tables; apply ci floor and cs cap. Returns kept count.
+int64_t bronko_counter_finalize(void* h, uint32_t ci, uint32_t cs) {
+  auto* c = static_cast<Counter*>(h);
+  if (!c->finalized) {
+    std::vector<std::pair<uint64_t, uint32_t>> items;
+    size_t cap = 0;
+    for (auto& t : c->tables) cap += t.used;
+    items.reserve(cap);
+    for (auto& t : c->tables)
+      for (size_t i = 0; i < t.keys.size(); ++i)
+        if (t.keys[i] != Table::kEmpty) items.emplace_back(t.keys[i], t.vals[i]);
+    std::sort(items.begin(), items.end());
+    c->out_keys.clear();
+    c->out_vals.clear();
+    c->n_unique = 0;
+    size_t i = 0;
+    while (i < items.size()) {
+      uint64_t key = items[i].first;
+      uint64_t sum = 0;
+      while (i < items.size() && items[i].first == key) { sum += items[i].second; ++i; }
+      ++c->n_unique;
+      if (sum >= ci) {
+        c->out_keys.push_back(key);
+        c->out_vals.push_back((uint32_t)std::min<uint64_t>(sum, cs));
+      }
+    }
+    c->finalized = true;
+  }
+  return (int64_t)c->out_keys.size();
+}
 
-// Number of unique k-mers with count >= ci.
-int64_t bronko_counter_unique_counted(void* h, uint32_t ci) {
+int64_t bronko_counter_total_reads(void* h) { return static_cast<Counter*>(h)->total_reads; }
+
+int64_t bronko_counter_total_kmers(void* h) {
   auto* c = static_cast<Counter*>(h);
   int64_t n = 0;
-  for (size_t i = 0; i < c->keys.size(); ++i)
-    if (c->keys[i] != Counter::kEmpty && c->vals[i] >= ci) ++n;
+  for (auto v : c->thread_kmers) n += v;
   return n;
 }
 
-// Extract (kmer, min(count, cs)) pairs with count >= ci, sorted by k-mer.
-// out_kmers/out_counts must hold bronko_counter_unique_counted() entries.
-void bronko_counter_extract(void* h, uint32_t ci, uint32_t cs,
-                            uint64_t* out_kmers, uint32_t* out_counts) {
+int64_t bronko_counter_unique(void* h) { return static_cast<Counter*>(h)->n_unique; }
+
+void bronko_counter_extract(void* h, uint64_t* out_kmers, uint32_t* out_counts) {
   auto* c = static_cast<Counter*>(h);
-  std::vector<std::pair<uint64_t, uint32_t>> items;
-  items.reserve(c->used);
-  for (size_t i = 0; i < c->keys.size(); ++i) {
-    if (c->keys[i] != Counter::kEmpty && c->vals[i] >= ci)
-      items.emplace_back(c->keys[i], std::min(c->vals[i], cs));
-  }
-  std::sort(items.begin(), items.end());
-  for (size_t i = 0; i < items.size(); ++i) {
-    out_kmers[i] = items[i].first;
-    out_counts[i] = items[i].second;
-  }
+  memcpy(out_kmers, c->out_keys.data(), c->out_keys.size() * sizeof(uint64_t));
+  memcpy(out_counts, c->out_vals.data(), c->out_vals.size() * sizeof(uint32_t));
 }
 
 }  // extern "C"
