@@ -102,7 +102,7 @@ def main():
         kj, cj = _prepare_batches(kmers, counts, cfg.batch_size)
         tallies = run_tally_pass(kj, cj, dev, mcfg)
         best = pick_best_genome(tallies, dev)
-        pileup = run_pileup_pass(kj, cj, dev, best, mcfg)
+        pileup = run_pileup_pass(kj, cj, dev, best, mcfg, n_kmers=kmers.shape[0])
         t_map = time.time()
         records, stats, _ = call_sample_variants(index, dev, cfg, best, pileup)
         t_call = time.time()

@@ -148,19 +148,26 @@ def run_tally_pass(kj, cj, dev: DeviceIndex, mcfg) -> np.ndarray:
         mcfg = replace(mcfg, lane_factor=mcfg.lane_factor * 2)
 
 
-def run_pileup_pass(kj, cj, dev: DeviceIndex, best: int, mcfg):
+def run_pileup_pass(kj, cj, dev: DeviceIndex, best: int, mcfg, n_kmers: int | None = None):
     """Pass 2: scatter the SELECTED genome's pileup only — pileup memory and
     scatter lanes scale with one genome, not the whole panel."""
     from dataclasses import replace
 
     # a single genome's sub-index has ~1 posting per hit bucket, so the
-    # expected lane load is ~1 per query; start tight and let the exact
-    # overflow retry widen if a repeat-heavy genome needs it
+    # expected lane load is ~1 per real query; budget from the true k-mer
+    # count (power-of-two bucketed for jit reuse), widened exactly on
+    # overflow if a repeat-heavy genome needs it
+    B = kj.shape[1]
+    J = len(mcfg.positions)
+    n_real = n_kmers if n_kmers is not None else kj.shape[0] * B
+    want = max(n_real * J * 2, 1 << 20)
+    budget = 1 << (want - 1).bit_length()
+    budget = min(budget, B * J * max(2, mcfg.lane_factor))
     gcfg = replace(
         mcfg,
         total_len=dev.g_total_len,
         max_bucket=dev.g_max_bucket,
-        lane_factor=2,
+        lane_budget=budget,
     )
     keys_g = dev.g_keys[best]
     offsets_g = dev.g_offsets[best]
@@ -171,9 +178,8 @@ def run_pileup_pass(kj, cj, dev: DeviceIndex, best: int, mcfg):
             kj, cj, keys_g, offsets_g, postings_g, pileup, gcfg)
         if not int(overflow):
             return pileup
-        log.info("pileup lane budget exceeded (factor %d); retrying",
-                 gcfg.lane_factor)
-        gcfg = replace(gcfg, lane_factor=gcfg.lane_factor * 2)
+        log.info("pileup lane budget exceeded (%d); retrying", gcfg.lane_budget)
+        gcfg = replace(gcfg, lane_budget=gcfg.lane_budget * 2)
 
 
 def pick_best_genome(tallies: np.ndarray, dev: DeviceIndex) -> int | None:
@@ -283,7 +289,7 @@ def _process_one(
 
     t1 = time.time()
     if kj is not None and dev.g_keys is not None:
-        pileup = run_pileup_pass(kj, cj, dev, best, mcfg)
+        pileup = run_pileup_pass(kj, cj, dev, best, mcfg, n_kmers=kmers.shape[0])
     else:
         pileup = jnp.zeros((4, dev.g_total_len + 1, 4), jnp.int32)
     log.info("Scattered pileup in %.2fs", time.time() - t1)

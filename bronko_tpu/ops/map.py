@@ -59,6 +59,7 @@ class MapConfig:
     lane_factor: int = 6        # lane budget = B * J * lane_factor (avg bucket
                                 # size + slack; overflow flag triggers retry
                                 # with a doubled factor)
+    lane_budget: int | None = None  # explicit budget override (takes priority)
 
 
 def probe_scatter(
@@ -92,7 +93,7 @@ def probe_scatter(
     U = keys.shape[0]
     T = cfg.total_len
     N2 = B * J
-    LB = B * J * cfg.lane_factor
+    LB = cfg.lane_budget if cfg.lane_budget else B * J * cfg.lane_factor
 
     valid_kmer = counts > 0
     canon, is_rc = canonical(kmers, k, jnp)
@@ -100,6 +101,14 @@ def probe_scatter(
     bases = ((canon[:, None] >> shifts) & jnp.uint64(3)).astype(jnp.int32)  # (B,k)
     buckets = assign_buckets(canon, k, jnp)  # (B,k)
     q = buckets[:, np.asarray(cfg.positions)]  # (B,J)
+
+    # per-(kmer, position) fold table: one gather yields the non-canonical
+    # base, the mirrored-complement base, the kmer's rc flag, and its count
+    # (bits 0-1, 2-3, 4, 5+). Cuts 4 random gathers per lane to 1.
+    mirror = 3 - bases[:, ::-1]
+    pc = (bases | (mirror << 2)
+          | (is_rc.astype(jnp.int32) << 4)[:, None]
+          | (counts << 5)[:, None]).reshape(B * k)
 
     # method='sort' rides the TPU's fast sort instead of a 20-deep
     # gather-dependency chain (14x faster at viral index scale)
@@ -112,14 +121,13 @@ def probe_scatter(
     lens = jnp.where(hit.reshape(N2), endf - startf, 0)
     cum = jnp.cumsum(lens, dtype=jnp.int32)              # inclusive
     total = cum[-1]
-    excl = cum - lens
+    diff = startf - (cum - lens)                         # start - exclusive cumsum
 
     lane_ids = jnp.arange(LB, dtype=jnp.int32)
     own = jnp.searchsorted(cum, lane_ids, side="right", method="sort")
     own_c = jnp.minimum(own, N2 - 1).astype(jnp.int32)
     lane_valid = lane_ids < jnp.minimum(total, LB)
-    pofs = lane_ids - excl[own_c]
-    pidx_s = jnp.where(lane_valid, startf[own_c] + pofs, 0)
+    pidx_s = jnp.where(lane_valid, lane_ids + diff[own_c], 0)
 
     post = postings[pidx_s]                              # (LB,) int64
     g = (post >> 22).astype(jnp.int32)
@@ -129,15 +137,12 @@ def probe_scatter(
     fid = m >> 6
 
     b = own_c // J
-    bases_flat = bases.reshape(B * k)
-    base_nc = bases_flat[b * k + idx]
-    base_c = 3 - bases_flat[b * k + (k - 1 - idx)]
-    base = jnp.where(is_canon == 1, base_c, base_nc)
-
-    fwd = (is_canon == is_rc[b].astype(jnp.int32))
+    v = pc[b * k + idx]   # mirror bits already hold the k-1-idx complement
+    base = jnp.where(is_canon == 1, (v >> 2) & 3, v & 3)
+    fwd = (is_canon == ((v >> 4) & 1))
+    n_lane = v >> 5
     pos = jnp.where(lane_valid, g, T)                    # dump row for masked
     cell = pos * 4 + base                                # (LB,) in [0, 4T+4)
-    n_lane = counts[b]
 
     row_len = (T + 1) * 4
     flat = pileup.reshape(4 * row_len)
