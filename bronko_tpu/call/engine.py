@@ -160,7 +160,7 @@ def run_pileup_pass(kj, cj, dev: DeviceIndex, best: int, mcfg, n_kmers: int | No
     B = kj.shape[1]
     J = len(mcfg.positions)
     n_real = n_kmers if n_kmers is not None else kj.shape[0] * B
-    want = max(n_real * J * 2, 1 << 20)
+    want = max(n_real * J * 3 // 2, 1 << 20)
     budget = 1 << (want - 1).bit_length()
     budget = min(budget, B * J * max(2, mcfg.lane_factor))
     gcfg = replace(
