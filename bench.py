@@ -117,13 +117,27 @@ def main():
         )
 
     warm = run_once()   # compile warmup
-    r = run_once()      # steady state
+    r = run_once()      # steady state, single sample
 
-    reads_per_sec = r["reads"] / r["total_s"]
+    # production batch mode: host counting of sample i+1 overlaps device
+    # mapping of sample i (run_call's prefetch pipeline)
+    from bronko_tpu.call.engine import run_call
+
+    n_batch = 3
+    bcfg = CallConfig(genomes=None, db="bench", reads=[fastq] * n_batch,
+                      output=os.path.join(CACHE, "out_batch"))
+    t0 = time.time()
+    summaries = run_call(bcfg, index, dev)
+    batch_s = time.time() - t0
+    batch_reads = r["reads"] * len(summaries)
+    reads_per_sec = batch_reads / batch_s
+
     print(
         f"# platform={platform} build={build_s:.1f}s "
-        f"warm={warm['total_s']:.1f}s steady: count={r['count_s']:.2f}s "
+        f"warm={warm['total_s']:.1f}s single-sample: count={r['count_s']:.2f}s "
         f"map={r['map_s']:.2f}s call={r['call_s']:.2f}s "
+        f"({r['reads'] / r['total_s']:.0f} reads/s) | batch x{n_batch}: "
+        f"{batch_s:.2f}s ({reads_per_sec:.0f} reads/s) "
         f"reads={r['reads']} unique_kmers={r['unique']} variants={r['n_variants']}",
         file=sys.stderr,
     )
