@@ -2,20 +2,29 @@
 
 TPU-first redesign of the reference hot loop (call.rs:1257-1434). The
 reference walks a hashmap per k-mer per bucket and mutates DashMap pileups
-under sharded locks; here the whole batch is one data-parallel tensor
-program:
+under sharded locks; here mapping is two batched tensor passes:
 
-  1. canonicalize the batch, compute per-position bases and bucket ids;
-  2. binary-search all (B, J) bucket queries against the sorted key array;
-  3. expand each hit's CSR posting range to a static width E (max bucket
-     size, computed at index load) with a validity mask;
-  4. compute every posting's scatter target = (strand, semantic, global
-     position, base) as pure functions of (posting meta, read k-mer);
+PASS 1 — genome tallies (tally_hist / tally_flat):
+  1. canonicalize the batch, compute bucket ids for the filtered wildcard
+     positions, binary-search them against the sorted key array
+     (method='sort': the probe rides the TPU's fast sort);
+  2. per-(kmer, genome) posting-hit counts either from a per-bucket genome
+     histogram (one int64 gather per query; panels <= 8 genomes) or a
+     flat-join posting expansion; classify perfect / variant /
+     unique-perfect (call.rs:1390-1418) and pick the best genome.
+
+PASS 2 — pileup scatter for the SELECTED genome only (probe_scatter over
+its sub-index):
+  3. expand each hit's CSR posting range via a sorted-merge run-length
+     ("flat join") expansion into a lane array sized by the true posting
+     load (overflow flag -> exact retry with a doubled budget);
+  4. compute every posting's scatter target = (strand, semantic, genome
+     position, base) as pure functions of (posting meta, read k-mer) — one
+     gather into a per-(kmer, position) fold table carries base, mirrored
+     complement, rc flag, and count;
   5. one scatter-add (+1 per distinct k-mer, the "counts" semantic,
      call.rs:1337-1339) and one scatter-max (KMC count, the depth-estimate
-     semantic, call.rs:1342-1344) into the flat pileup tensor;
-  6. per-genome tallies (perfect / variant / unique-perfect k-mers,
-     call.rs:1390-1418) via a (B, G) hit-count matrix.
+     semantic, call.rs:1342-1344) into the flat pileup tensor.
 
 Scatter semantics notes (verified against the reference, see
 docs/mapping_semantics.md):

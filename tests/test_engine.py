@@ -138,3 +138,36 @@ def test_keep_kmer_info_and_isolation(synth, tmp_path):
     assert os.path.exists(dump)
     line = open(dump).readline().split()
     assert len(line[0]) == 21 and int(line[1]) >= cfg.min_kmers
+
+
+def test_large_panel_flat_tally(tmp_path):
+    """>8 genomes forces the flat tally fallback (no histogram); results
+    must match the small-panel semantics (selection + variant calls)."""
+    import numpy as np
+    from tests.make_synthetic import make_genome, make_sample, write_fasta, write_fastq
+
+    rng = np.random.default_rng(55)
+    base = make_genome(rng, 900)
+    paths = []
+    for g in range(12):
+        gen = bytearray(base)
+        for p in rng.integers(0, len(base), 25):  # ~3% divergence per strain
+            gen[p] = b"ACGT"[rng.integers(4)]
+        p_ = tmp_path / f"strain{g:02d}.fasta"
+        write_fasta(str(p_), f"strain{g:02d}", bytes(gen))
+        paths.append(str(p_))
+
+    # reads from strain 7
+    truth = open(paths[7]).read().split("\n", 1)[1].replace("\n", "").encode()
+    reads, _ = make_sample(truth, rng, read_len=80, depth=60)
+    fq = str(tmp_path / "p.fastq.gz")
+    write_fastq(fq, reads)
+
+    index = build_index(21, paths)
+    dev = build_device_index(index)
+    assert dev.hist is None  # flat fallback in play
+    out = str(tmp_path / "out")
+    cfg = small_cfg(genomes=paths, reads=[fq], output=out)
+    summaries = run_call(cfg, index, dev)
+    assert summaries[0].selected_genome == "strain07"
+    assert summaries[0].stats.num_major <= 1
