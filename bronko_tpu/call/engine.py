@@ -148,6 +148,51 @@ def run_tally_pass(kj, cj, dev: DeviceIndex, mcfg) -> np.ndarray:
         mcfg = replace(mcfg, lane_factor=mcfg.lane_factor * 2)
 
 
+class ShardedTally:
+    """Multi-device pass-1 executor over a ('data', 'genome') mesh."""
+
+    def __init__(self, index: BronkoIndex, cfg: CallConfig):
+        import jax as _jax
+
+        from bronko_tpu.parallel.mesh import make_mesh
+        from bronko_tpu.parallel.pipeline import make_sharded_tally_step, split_index
+
+        d_str, g_str = cfg.mesh.split("x")
+        self.n_data, self.n_genome = int(d_str), int(g_str)
+        n_need = self.n_data * self.n_genome
+        if n_need > len(_jax.devices()):
+            raise SystemExit(
+                f"mesh {cfg.mesh} needs {n_need} devices, have {len(_jax.devices())}")
+        self.mesh = make_mesh(self.n_data, self.n_genome)
+        self.sharded = split_index(index, self.n_genome)
+        self.mcfg = self.sharded.map_config(cfg.n_fixed, cfg.use_full_kmer)
+        self.keys = jnp.asarray(self.sharded.keys)
+        self.offsets = jnp.asarray(self.sharded.offsets)
+        self.postings = jnp.asarray(self.sharded.postings)
+        self._step = make_sharded_tally_step(self.mesh, self.mcfg)
+
+    def run(self, kj, cj) -> np.ndarray:
+        from dataclasses import replace
+
+        from bronko_tpu.parallel.pipeline import make_sharded_tally_step
+
+        while True:
+            total = np.zeros((self.sharded.num_genomes, 3), np.int64)
+            overflowed = False
+            for i in range(kj.shape[0]):
+                tl, ov = self._step(kj[i], cj[i], self.keys, self.offsets, self.postings)
+                if int(np.asarray(ov)[0]):
+                    overflowed = True
+                    break
+                total += np.asarray(tl).astype(np.int64)
+            if not overflowed:
+                return total
+            log.info("sharded tally lane budget exceeded (factor %d); retrying",
+                     self.mcfg.lane_factor)
+            self.mcfg = replace(self.mcfg, lane_factor=self.mcfg.lane_factor * 2)
+            self._step = make_sharded_tally_step(self.mesh, self.mcfg)
+
+
 def run_pileup_pass(kj, cj, dev: DeviceIndex, best: int, mcfg, n_kmers: int | None = None):
     """Pass 2: scatter the SELECTED genome's pileup only — pileup memory and
     scatter lanes scale with one genome, not the whole panel."""
@@ -257,6 +302,7 @@ def _process_one(
     index: BronkoIndex,
     dev: DeviceIndex,
     cfg: CallConfig,
+    sharded: "ShardedTally | None" = None,
 ) -> tuple[SampleSummary, tuple[str, list[VCFRecord]]]:
     t0 = time.time()
     mcfg = dev.map_config(cfg.n_fixed, cfg.use_full_kmer)
@@ -265,7 +311,10 @@ def _process_one(
         tallies = np.zeros((dev.num_genomes, 3), np.int64)
     else:
         kj, cj = _prepare_batches(kmers, counts, cfg.batch_size)
-        tallies = run_tally_pass(kj, cj, dev, mcfg)
+        if sharded is not None:
+            tallies = sharded.run(kj, cj)
+        else:
+            tallies = run_tally_pass(kj, cj, dev, mcfg)
     log.info("Tallied %d kmers in %.2fs", kmers.shape[0], time.time() - t0)
 
     best = pick_best_genome(tallies, dev)
@@ -333,6 +382,13 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
     variant_info: list[tuple[str, list[VCFRecord]]] = []
     failures: list[str] = []
 
+    sharded = None
+    if cfg.mesh:
+        log.info("Sharding tally pass over a %s device mesh", cfg.mesh)
+        sharded = ShardedTally(index, cfg)
+        if cfg.batch_size % sharded.n_data:
+            raise SystemExit("batch size must be divisible by the data-mesh axis")
+
     jobs = [[p] for p in cfg.reads] + [
         [r1, r2] for r1, r2 in zip(cfg.first_pairs, cfg.second_pairs)
     ]
@@ -368,7 +424,7 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
                         for km, ct in zip(kmers.tolist(), counts.tolist()):
                             fh.write(f"{kmer_to_string(km, index.k)}\t{ct}\n")
                 summary, vinfo = _process_one(
-                    display, kmers, counts, cstats, index, dev, cfg)
+                    display, kmers, counts, cstats, index, dev, cfg, sharded)
                 summaries.append(summary)
                 variant_info.append(vinfo)
                 log_memory_usage("Called variants successfully")

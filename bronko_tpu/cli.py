@@ -92,8 +92,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--keep-kmer-info", dest="keep_kmer_counts", action="store_true",
                    default=consts.DEFAULT_KEEP_KMER_INFO,
                    help="Keep kmer count information")
-    c.add_argument("--batch-size", type=int, default=1 << 17,
+    c.add_argument("--batch-size", type=int, default=1 << 18,
                    help="Device mapping batch size (TPU)")
+    c.add_argument("--mesh", default=None,
+                   help="Device mesh 'DxG' (data-parallel x genome shards), e.g. 4x2")
     _add_common(c)
     return ap
 

@@ -87,6 +87,8 @@ class CallConfig:
     batch_size: int = 1 << 18
     chunk_reads: int = 1 << 18
     counter: str = "auto"  # 'auto' | 'host' (C++ hash) | 'device' (TPU sort)
+    mesh: str | None = None  # 'DxG' device mesh, e.g. '4x2' = 4-way data
+    #  parallel x 2-way genome sharding for the tally pass; None = 1 device
 
     def validate(self) -> None:  # mirrors call.rs:30-136
         _check_k(self.kmer)

@@ -195,6 +195,39 @@ def make_sharded_map_step(mesh: Mesh, cfg: MapConfig):
     ), donate_argnums=(5, 6))
 
 
+def make_sharded_tally_step(mesh: Mesh, cfg: MapConfig):
+    """Tally-only SPMD step over ('data', 'genome') — pass 1 of the two-pass
+    engine at pod scale. Read batches shard over 'data'; each genome shard
+    counts posting hits against its slice of the index; hits psum over
+    'genome' before classification; tallies psum over 'data'.
+
+    Returns step(kmers, counts, keys, offsets, postings) -> (tallies (G,3)
+    replicated, overflow scalar)."""
+    from bronko_tpu.ops.map import tally_flat
+
+    nb = len(cfg.positions)
+
+    def local_step(kmers, counts, keys, offsets, postings):
+        hits, overflow = tally_flat(
+            kmers, counts, keys[0], offsets[0], postings[0], cfg=cfg)
+        hits = jax.lax.psum(hits, "genome")
+        batch = classify_tallies(hits, counts > 0, nb)
+        tallies = jax.lax.psum(batch, "data")
+        overflow = jax.lax.psum(jax.lax.psum(overflow, "genome"), "data")
+        return tallies, overflow[None]
+
+    return jax.jit(jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P("data"), P("data"),
+            P("genome", None), P("genome", None), P("genome", None),
+        ),
+        out_specs=(P(None, None), P(None)),
+        check_vma=False,
+    ))
+
+
 def make_merge_step(mesh: Mesh):
     """Merge per-data-shard partial pileups: depth planes pmax, count planes
     psum, tallies psum — the collective form of call.rs:1420-1431."""

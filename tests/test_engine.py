@@ -171,3 +171,26 @@ def test_large_panel_flat_tally(tmp_path):
     summaries = run_call(cfg, index, dev)
     assert summaries[0].selected_genome == "strain07"
     assert summaries[0].stats.num_major <= 1
+
+
+def test_mesh_sharded_engine(synth):
+    """--mesh DxG: sharded tally pass must produce the same outputs as the
+    single-device engine (8 virtual CPU devices)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 devices")
+    tmp, ref, fq, genome, alts = synth
+    out_s = str(tmp / "out_mesh")
+    out_1 = str(tmp / "out_singledev")
+    index = build_index(21, [ref])
+    dev = build_device_index(index)
+    run_call(small_cfg(genomes=[ref], reads=[fq], output=out_1), index, dev)
+    run_call(small_cfg(genomes=[ref], reads=[fq], output=out_s, mesh="4x2"),
+             index, dev)
+    assert open(os.path.join(out_s, "samp.vcf")).read() == \
+        open(os.path.join(out_1, "samp.vcf")).read()
+    assert open(os.path.join(out_s, "bronko_overview.tsv")).read() == \
+        open(os.path.join(out_1, "bronko_overview.tsv")).read()
