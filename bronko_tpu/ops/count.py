@@ -37,21 +37,7 @@ class CountStats:
     unique_counted_kmers: int = 0
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def extract_and_count_chunk(codes, lengths, k: int):
-    """Count k-mers in one padded read chunk.
-
-    Args:
-      codes: (R, L) uint8 base codes, 0..3 = ACGT, >=4 = invalid/padding.
-      lengths: (R,) int32 true read lengths.
-      k: k-mer size (static).
-
-    Returns:
-      ukmers: (N,) uint64 — rank-indexed unique k-mers (tail is sentinel)
-      ucounts: (N,) int32 — counts aligned with ukmers
-      n_unique: () int32 — number of valid unique k-mers
-      n_total: () int32 — number of valid k-mer instances
-    """
+def _pack_windows_xla(codes, lengths, k: int):
     R, L = codes.shape
     W = L - k + 1
     c64 = codes.astype(jnp.uint64)
@@ -62,18 +48,50 @@ def extract_and_count_chunk(codes, lengths, k: int):
     badps = jnp.concatenate([jnp.zeros((R, 1), jnp.int32), jnp.cumsum(bad, axis=1)], axis=1)
     nbad = badps[:, k:] - badps[:, :W]
     in_read = jnp.arange(W, dtype=jnp.int32)[None, :] + k <= lengths[:, None]
-    valid = (nbad == 0) & in_read
+    return acc, (nbad == 0) & in_read
+
+
+@functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
+def extract_and_count_chunk(codes, lengths, k: int, use_pallas: bool = False):
+    """Count k-mers in one padded read chunk.
+
+    Args:
+      codes: (R, L) uint8 base codes, 0..3 = ACGT, >=4 = invalid/padding.
+      lengths: (R,) int32 true read lengths.
+      k: k-mer size (static).
+      use_pallas: fuse the window pack in a Pallas VMEM kernel (TPU).
+
+    Returns:
+      ukmers: (N,) uint64 — rank-indexed unique k-mers (tail is sentinel)
+      ucounts: (N,) int32 — counts aligned with ukmers
+      n_unique: () int32 — number of valid unique k-mers
+      n_total: () int32 — number of valid k-mer instances
+    """
+    if use_pallas:
+        from bronko_tpu.ops.pallas_pack import pack_windows_pallas
+
+        acc, valid = pack_windows_pallas(codes, lengths, k)
+    else:
+        acc, valid = _pack_windows_xla(codes, lengths, k)
 
     flat = jnp.where(valid, acc, SENTINEL).reshape(-1)
     n_total = valid.sum(dtype=jnp.int32)
 
+    # scatter-free segment counting: counts are next-boundary deltas, and
+    # compaction is a stable sort that floats boundaries to the front
+    # (64-bit scatters are pathologically slow on TPU)
     s = jnp.sort(flat)
     N = s.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
     is_new = jnp.concatenate([jnp.ones(1, bool), s[1:] != s[:-1]])
-    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    ucounts = jnp.zeros(N, jnp.int32).at[seg].add(1)
-    ukmers = jnp.full(N, SENTINEL, jnp.uint64).at[seg].set(s, mode="drop")
-    n_unique = (is_new & (s != SENTINEL)).sum(dtype=jnp.int32)
+    b = jnp.where(is_new, idx, N)
+    nxt_incl = jax.lax.cummin(b[::-1])[::-1]       # first boundary >= i
+    nxt_after = jnp.concatenate([nxt_incl[1:], jnp.asarray([N], jnp.int32)])
+    cnt_at = nxt_after - idx                        # segment size at boundaries
+    is_real = is_new & (s != SENTINEL)
+    keyc = (~is_real).astype(jnp.int32)
+    _, ukmers, ucounts = jax.lax.sort((keyc, s, cnt_at), num_keys=1, is_stable=True)
+    n_unique = is_real.sum(dtype=jnp.int32)
     return ukmers, ucounts, n_unique, n_total
 
 
@@ -87,10 +105,23 @@ class KmerCounter:
         self._chunks: list[tuple[np.ndarray, np.ndarray]] = []
         self.stats = CountStats()
 
+    _pallas_ok: bool | None = None
+
     def add_chunk(self, codes: np.ndarray, lengths: np.ndarray, n_reads: int) -> None:
-        ukmers, ucounts, n_unique, n_total = extract_and_count_chunk(
-            jnp.asarray(codes), jnp.asarray(lengths), self.k
-        )
+        if KmerCounter._pallas_ok is None:
+            KmerCounter._pallas_ok = jax.default_backend() == "tpu"
+        try:
+            ukmers, ucounts, n_unique, n_total = extract_and_count_chunk(
+                jnp.asarray(codes), jnp.asarray(lengths), self.k,
+                use_pallas=KmerCounter._pallas_ok,
+            )
+        except Exception:  # noqa: BLE001 — Pallas unavailable on this backend
+            if not KmerCounter._pallas_ok:
+                raise
+            KmerCounter._pallas_ok = False
+            ukmers, ucounts, n_unique, n_total = extract_and_count_chunk(
+                jnp.asarray(codes), jnp.asarray(lengths), self.k, use_pallas=False,
+            )
         n_unique = int(n_unique)
         self.stats.total_reads += n_reads
         self.stats.total_kmers += int(n_total)

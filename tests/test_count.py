@@ -76,3 +76,35 @@ def test_encode_reads_layout():
     assert codes[1, :2].tolist() == [3, 3]
     assert (codes[1, 2:] == 4).all()
     assert CODES[ord("G")] == 2
+
+
+def test_pallas_pack_matches_xla():
+    """Pallas window-pack kernel (interpret mode on CPU) vs the XLA path."""
+    import jax
+    import jax.numpy as jnp
+
+    from bronko_tpu.ops.count import _pack_windows_xla
+    from bronko_tpu.ops import pallas_pack
+
+    rng = np.random.default_rng(3)
+    k = 21
+    codes = rng.integers(0, 6, size=(64, 96)).astype(np.uint8)  # some invalid
+    lengths = rng.integers(10, 96, size=64).astype(np.int32)
+
+    acc_x, valid_x = jax.jit(lambda c, l: _pack_windows_xla(c, l, k))(
+        jnp.asarray(codes), jnp.asarray(lengths))
+
+    # interpret mode so the kernel runs on CPU in tests
+    import functools
+    from unittest import mock
+    from jax.experimental import pallas as pl
+
+    orig = pl.pallas_call
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(orig, interpret=True)):
+        kmers_p, valid_p = pallas_pack.pack_windows_pallas(
+            jnp.asarray(codes), jnp.asarray(lengths), k)
+
+    assert np.array_equal(np.asarray(valid_x), np.asarray(valid_p))
+    vx = np.asarray(valid_x)
+    assert np.array_equal(np.asarray(acc_x)[vx], np.asarray(kmers_p)[vx])
