@@ -393,10 +393,11 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
         [r1, r2] for r1, r2 in zip(cfg.first_pairs, cfg.second_pairs)
     ]
 
-    # host counting (C++, GIL-free) prefetches the next sample while the
+    # host counting (C++, GIL-free) prefetches upcoming samples while the
     # device maps the current one — the reference's rayon-join concurrency
     # (call.rs:301-307) generalized across the sample stream
-    with ThreadPoolExecutor(max_workers=1) as pool:
+    n_workers = 2 if len(jobs) > 1 else 1
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
         futures = []
         for job in jobs:
             futures.append(pool.submit(_count_job, job, cfg, index.k))

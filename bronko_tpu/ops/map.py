@@ -224,8 +224,8 @@ def tally_hist(kmers, counts, keys, offsets, hist, *, cfg: MapConfig):
     h = jnp.where(hit, hist[ii_c], 0)                      # (B,J) packed counts
     # unpack per bucket THEN sum over buckets (per-bucket bytes can't
     # overflow — bucket size <= 255 — but a packed sum across J could)
-    shifts8 = jnp.arange(G, dtype=jnp.int64) * 8
-    per_g = (h[..., None] >> shifts8) & jnp.int64(0xFF)    # (B,J,G)
+    shifts8 = jnp.arange(G, dtype=hist.dtype) * hist.dtype.type(8)
+    per_g = (h[..., None] >> shifts8) & hist.dtype.type(0xFF)  # (B,J,G)
     return per_g.sum(axis=1).astype(jnp.int32)             # (B,G)
 
 
