@@ -396,8 +396,7 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
     # host counting (C++, GIL-free) prefetches upcoming samples while the
     # device maps the current one — the reference's rayon-join concurrency
     # (call.rs:301-307) generalized across the sample stream
-    n_workers = 2 if len(jobs) > 1 else 1
-    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+    with ThreadPoolExecutor(max_workers=1) as pool:
         futures = []
         for job in jobs:
             futures.append(pool.submit(_count_job, job, cfg, index.k))
