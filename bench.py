@@ -126,9 +126,11 @@ def main():
     n_batch = 3
     bcfg = CallConfig(genomes=None, db="bench", reads=[fastq] * n_batch,
                       output=os.path.join(CACHE, "out_batch"))
-    t0 = time.time()
-    summaries = run_call(bcfg, index, dev)
-    batch_s = time.time() - t0
+    batch_s = float("inf")
+    for _ in range(2):  # best-of-2 damps host-side contention noise
+        t0 = time.time()
+        summaries = run_call(bcfg, index, dev)
+        batch_s = min(batch_s, time.time() - t0)
     batch_reads = r["reads"] * len(summaries)
     reads_per_sec = batch_reads / batch_s
 
