@@ -320,7 +320,9 @@ def _process_one(
     best = pick_best_genome(tallies, dev)
     if best is None:
         log.error("Unable to pick a best genome")
-        raise SystemExit(1)
+        # a data problem of THIS sample: isolated by run_call; a run where
+        # every sample fails still exits 1 (reference: call.rs:230-233)
+        raise RuntimeError("Unable to pick a best genome")
     n_perfect, n_variant, n_unique = (int(x) for x in tallies[best])
     best_name = index.files[best].name
     log.info("Selected a representative genome: %s", best_name)
