@@ -116,3 +116,26 @@ def test_segmented_genome_end_to_end(tmp_path):
     found = {(r[0], int(r[1])): r[4] for r in rows}
     assert found.get(("seg1", 201)) == alts[(0, 200)]
     assert found.get(("seg2", 101)) == alts[(1, 100)]
+
+
+@pytest.mark.parametrize("k", [15, 31])
+def test_k_range_end_to_end(tmp_path, k):
+    """Smallest and largest supported k through the full engine (k=31
+    exercises 62-bit k-mers and u64 bucket wrap-around)."""
+    rng = np.random.default_rng(40 + k)
+    genome = make_genome(rng, 600)
+    ref = tmp_path / "g.fasta"
+    ref.write_text(">g\n" + genome.decode() + "\n")
+    mut = bytearray(genome)
+    p = 300
+    mut[p] = next(c for c in b"ACGT" if c != mut[p])
+    reads, _ = make_sample(bytes(mut), rng, read_len=70, depth=60)
+    fq = str(tmp_path / "r.fastq.gz")
+    write_fastq(fq, reads)
+    out = str(tmp_path / f"out{k}")
+    cfg = small_cfg(genomes=[str(ref)], reads=[fq], output=out, kmer=k)
+    idx = build_index(k, [str(ref)])
+    summaries = run_call(cfg, idx, build_device_index(idx))
+    vcf = open(os.path.join(out, "r.vcf")).read()
+    assert f"\t{p + 1}\t" in vcf
+    assert summaries[0].stats.num_major >= 1
