@@ -37,7 +37,7 @@ from bronko_tpu.io.fastq import read_fastq_chunks
 from bronko_tpu.ops.count import CountStats, KmerCounter
 from bronko_tpu.ops.map import (
     PLANE_CNT_FWD, PLANE_CNT_REV, PLANE_DEPTH_FWD, PLANE_DEPTH_REV,
-    pileup_all_jit, tally_all_jit,
+    pileup_all_jit, pileup_from_saved_jit, tally_all_jit, tally_save_jit,
 )
 
 log = logging.getLogger("bronko")
@@ -193,6 +193,41 @@ class ShardedTally:
             self._step = make_sharded_tally_step(self.mesh, self.mcfg)
 
 
+def _pass2_budget(kj, mcfg, n_kmers):
+    B = kj.shape[1]
+    J = len(mcfg.positions)
+    n_real = n_kmers if n_kmers is not None else kj.shape[0] * B
+    want = max(n_real * J * 3 // 2, 1 << 20)
+    budget = 1 << (want - 1).bit_length()
+    return min(budget, B * J * max(2, mcfg.lane_factor))
+
+
+def run_pileup_saved(kj, cj, saved, dev: DeviceIndex, best: int, mcfg,
+                     n_kmers: int | None = None):
+    """Pass 2 via the probe-reuse path (no search): genome-local posting
+    ranges derive from pass 1's saved probe + the bucket histograms."""
+    from dataclasses import replace
+
+    ii_all, h_all = saved
+    gcfg = replace(
+        mcfg,
+        total_len=dev.g_total_len,
+        max_bucket=dev.g_max_bucket,
+        lane_budget=_pass2_budget(kj, mcfg, n_kmers),
+    )
+    best_j = jnp.int32(best)
+    fbase = jnp.int32(int(dev.file_bases[best]))
+    while True:
+        pileup = jnp.zeros((4, gcfg.total_len + 1, 4), jnp.int32)
+        pileup, overflow = pileup_from_saved_jit(
+            kj, cj, ii_all, h_all, dev.offsets, dev.postings,
+            pileup, best_j, fbase, gcfg)
+        if not int(overflow):
+            return pileup
+        log.info("pileup lane budget exceeded (%d); retrying", gcfg.lane_budget)
+        gcfg = replace(gcfg, lane_budget=gcfg.lane_budget * 2)
+
+
 def run_pileup_pass(kj, cj, dev: DeviceIndex, best: int, mcfg, n_kmers: int | None = None):
     """Pass 2: scatter the SELECTED genome's pileup only — pileup memory and
     scatter lanes scale with one genome, not the whole panel."""
@@ -202,17 +237,11 @@ def run_pileup_pass(kj, cj, dev: DeviceIndex, best: int, mcfg, n_kmers: int | No
     # expected lane load is ~1 per real query; budget from the true k-mer
     # count (power-of-two bucketed for jit reuse), widened exactly on
     # overflow if a repeat-heavy genome needs it
-    B = kj.shape[1]
-    J = len(mcfg.positions)
-    n_real = n_kmers if n_kmers is not None else kj.shape[0] * B
-    want = max(n_real * J * 3 // 2, 1 << 20)
-    budget = 1 << (want - 1).bit_length()
-    budget = min(budget, B * J * max(2, mcfg.lane_factor))
     gcfg = replace(
         mcfg,
         total_len=dev.g_total_len,
         max_bucket=dev.g_max_bucket,
-        lane_budget=budget,
+        lane_budget=_pass2_budget(kj, mcfg, n_kmers),
     )
     keys_g = dev.g_keys[best]
     offsets_g = dev.g_offsets[best]
@@ -306,12 +335,24 @@ def _process_one(
 ) -> tuple[SampleSummary, tuple[str, list[VCFRecord]]]:
     t0 = time.time()
     mcfg = dev.map_config(cfg.n_fixed, cfg.use_full_kmer)
+    saved = None
     if len(mcfg.positions) == 0 or kmers.shape[0] == 0:
         kj = cj = None
         tallies = np.zeros((dev.num_genomes, 3), np.int64)
     else:
         kj, cj = _prepare_batches(kmers, counts, cfg.batch_size)
-        if sharded is not None:
+        J = len(mcfg.positions)
+        probe_bytes = kj.shape[0] * kj.shape[1] * J * 12
+        if (sharded is None and dev.hist is not None and dev.fid_grouped
+                and probe_bytes < 512 << 20):
+            # probe-reuse fast path: pass 1 saves its probe so pass 2 needs
+            # no search of its own
+            tj = jnp.zeros((dev.num_genomes, 3), jnp.int32)
+            tj, ii_all, h_all = tally_save_jit(
+                kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
+            tallies = np.asarray(tj).astype(np.int64)
+            saved = (ii_all, h_all)
+        elif sharded is not None:
             tallies = sharded.run(kj, cj)
         else:
             tallies = run_tally_pass(kj, cj, dev, mcfg)
@@ -339,7 +380,10 @@ def _process_one(
         )
 
     t1 = time.time()
-    if kj is not None and dev.g_keys is not None:
+    if kj is not None and saved is not None:
+        pileup = run_pileup_saved(kj, cj, saved, dev, best, mcfg,
+                                  n_kmers=kmers.shape[0])
+    elif kj is not None and dev.g_keys is not None:
         pileup = run_pileup_pass(kj, cj, dev, best, mcfg, n_kmers=kmers.shape[0])
     else:
         pileup = jnp.zeros((4, dev.g_total_len + 1, 4), jnp.int32)

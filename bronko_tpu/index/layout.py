@@ -55,6 +55,9 @@ class DeviceIndex:
     g_postings: jnp.ndarray | None = None
     g_max_bucket: int = 1
     g_total_len: int = 0   # padded per-genome pileup length
+    # probe-reuse pileup pass prerequisites: postings fid-grouped per bucket
+    fid_grouped: bool = False
+    file_bases: np.ndarray | None = None  # (G,) global offset of each file
 
     def map_config(self, n_fixed: int, use_full_kmer: bool) -> MapConfig:
         positions = tuple(filtered_bucket_positions(self.k, n_fixed, use_full_kmer))
@@ -111,8 +114,14 @@ def build_device_index(index: BronkoIndex) -> DeviceIndex:
     # per-bucket per-genome histogram (tally pass needs 1 gather per query
     # instead of 1 per posting lane)
     hist = None
-    if 0 < G <= 8 and E <= 255 and meta.size:
+    fid_grouped = False
+    if meta.size:
+        # postings within a bucket are genome-grouped (build appends
+        # file-major and sorts stably); required by the probe-reuse pileup
         bucket_of_post = np.repeat(np.arange(U, dtype=np.int64), np.diff(index.offsets))
+        same_bucket = bucket_of_post[1:] == bucket_of_post[:-1]
+        fid_grouped = bool(np.all(file_id[1:][same_bucket] >= file_id[:-1][same_bucket]))
+    if 0 < G <= 8 and E <= 255 and meta.size:
         h = np.zeros((U, G), np.int64)
         np.add.at(h, (bucket_of_post, file_id), 1)
         packed = (h << (8 * np.arange(G, dtype=np.int64))).sum(axis=1)
@@ -184,4 +193,7 @@ def build_device_index(index: BronkoIndex) -> DeviceIndex:
         g_postings=g_postings,
         g_max_bucket=g_max_bucket,
         g_total_len=g_total_len,
+        fid_grouped=fid_grouped,
+        file_bases=np.concatenate([[0], np.cumsum(genome_lens)[:-1]]).astype(np.int64)
+        if G else np.zeros(0, np.int64),
     )

@@ -277,6 +277,98 @@ def tally_all_jit(kmers, counts, keys, offsets, postings, hist, tallies,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(5,))
+def tally_save_jit(kmers, counts, keys, offsets, hist, tallies, cfg: MapConfig):
+    """Pass 1 with probe reuse: histogram tallies PLUS the per-batch probe
+    artifacts (bucket row index, packed histogram) that let pass 2 skip its
+    own search entirely."""
+    nb_pos = len(cfg.positions)
+
+    def body(tl, batch):
+        km, ct = batch
+        ii_c, hit, _, _ = _probe(km, ct, keys, offsets, cfg=cfg)
+        h = jnp.where(hit, hist[ii_c], 0)
+        G = cfg.num_genomes
+        shifts8 = jnp.arange(G, dtype=hist.dtype) * hist.dtype.type(8)
+        per_g = (h[..., None] >> shifts8) & hist.dtype.type(0xFF)
+        hits = per_g.sum(axis=1).astype(jnp.int32)
+        tl = tl + classify_tallies(hits, ct > 0, nb_pos)
+        return tl, (ii_c, h)  # h keeps the hist dtype (int64 when G > 4)
+
+    tallies, (ii_all, h_all) = jax.lax.scan(body, tallies, (kmers, counts))
+    return tallies, ii_all, h_all
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(6,))
+def pileup_from_saved_jit(kmers, counts, ii_all, h_all, offsets, postings,
+                          pileup, best, file_base, cfg: MapConfig):
+    """Pass 2 without a probe: per-genome posting ranges derive from the
+    saved bucket rows + histogram bytes (postings are fid-grouped within a
+    bucket, asserted at index load). `best` and `file_base` are traced
+    scalars, so one executable serves every selected genome."""
+    k = cfg.k
+    G = cfg.num_genomes
+    J = len(cfg.positions)
+    T = cfg.total_len
+    g_ids = jnp.arange(G, dtype=jnp.int32)
+
+    def body(carry, batch):
+        pl, ov = carry
+        km, ct, ii_c, h = batch
+        B = km.shape[0]
+        N2 = B * J
+        LB = cfg.lane_budget if cfg.lane_budget else B * J * cfg.lane_factor
+
+        canon, is_rc = canonical(km, k, jnp)
+        shifts = jnp.uint64(2) * jnp.arange(k - 1, -1, -1, dtype=jnp.uint64)
+        bases = ((canon[:, None] >> shifts) & jnp.uint64(3)).astype(jnp.int32)
+        mirror = 3 - bases[:, ::-1]
+        pc = (bases | (mirror << 2)
+              | (is_rc.astype(jnp.int32) << 4)[:, None]
+              | (ct << 5)[:, None]).reshape(B * k)
+
+        bytes_g = ((h[..., None] >> (g_ids * 8)) & 0xFF).astype(jnp.int32)  # (B,J,G)
+        lens = jnp.sum(jnp.where(g_ids == best, bytes_g, 0), axis=-1)
+        prefix = jnp.sum(jnp.where(g_ids < best, bytes_g, 0), axis=-1)
+        startf = (offsets[ii_c] + prefix).reshape(N2).astype(jnp.int32)
+        lensf = lens.reshape(N2)
+
+        cum = jnp.cumsum(lensf, dtype=jnp.int32)
+        total = cum[-1]
+        diff = startf - (cum - lensf)
+        lane_ids = jnp.arange(LB, dtype=jnp.int32)
+        own = jnp.searchsorted(cum, lane_ids, side="right", method="sort")
+        own_c = jnp.minimum(own, N2 - 1).astype(jnp.int32)
+        lane_valid = lane_ids < jnp.minimum(total, LB)
+        pidx_s = jnp.where(lane_valid, lane_ids + diff[own_c], 0)
+
+        post = postings[pidx_s]
+        g = (post >> 22).astype(jnp.int32) - file_base
+        m = (post & 0x3FFFFF).astype(jnp.int32)
+        idx = m & 31
+        is_canon = (m >> 5) & 1
+
+        b = own_c // J
+        v = pc[b * k + idx]
+        base = jnp.where(is_canon == 1, (v >> 2) & 3, v & 3)
+        fwd = (is_canon == ((v >> 4) & 1))
+        n_lane = v >> 5
+        pos = jnp.where(lane_valid, g, T)
+        cell = pos * 4 + base
+
+        row_len = (T + 1) * 4
+        flat = pl.reshape(4 * row_len)
+        dt = jnp.where(fwd, PLANE_DEPTH_FWD * row_len, PLANE_DEPTH_REV * row_len) + cell
+        ctg = jnp.where(fwd, PLANE_CNT_FWD * row_len, PLANE_CNT_REV * row_len) + cell
+        flat = flat.at[dt].max(jnp.where(lane_valid, n_lane, 0))
+        flat = flat.at[ctg].add(lane_valid.astype(jnp.int32))
+        return (flat.reshape(4, T + 1, 4), ov | (total > LB).astype(jnp.int32)), None
+
+    (pileup, overflow), _ = jax.lax.scan(
+        body, (pileup, jnp.int32(0)), (kmers, counts, ii_all, h_all))
+    return pileup, overflow
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(5,))
 def pileup_all_jit(kmers, counts, keys_g, offsets_g, postings_g, pileup, cfg: MapConfig):
     """Pass 2: scatter the selected genome's pileup over (nb, B) batches.
 

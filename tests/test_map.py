@@ -233,3 +233,33 @@ def test_pileup_pass_matches_oracle(tmp_path):
             assert np.array_equal(pileup[2, base:base+L], om["fwd_cnt"])
             assert np.array_equal(pileup[3, base:base+L], om["rev_cnt"])
             base += L
+
+
+def test_pileup_saved_equals_subindex_path(tmp_path):
+    """Probe-reuse pass 2 must equal the sub-index pass 2 for every genome."""
+    from bronko_tpu.call.engine import (
+        _prepare_batches, run_pileup_pass, run_pileup_saved,
+    )
+    from bronko_tpu.ops.map import tally_save_jit
+
+    rng = np.random.default_rng(77)
+    k = 21
+    files = [(f"g{i}", [(f"s{i}", random_genome(rng, 300 + 10 * i))]) for i in range(4)]
+    index = make_index(tmp_path, files, k)
+    dev = build_device_index(index)
+    assert dev.hist is not None and dev.fid_grouped
+    mcfg = dev.map_config(2, False)
+    kmer_counts = sample_kmers(rng, files, k, n_exact=150, n_mut=60, n_junk=8)
+    kmers = np.asarray([kc[0] for kc in kmer_counts], np.uint64)
+    counts = np.asarray([kc[1] for kc in kmer_counts], np.int64)
+    kj, cj = _prepare_batches(kmers, counts, 128)
+
+    tj = jnp.zeros((dev.num_genomes, 3), jnp.int32)
+    tj, ii_all, h_all = tally_save_jit(kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
+    for best in range(4):
+        p_saved = np.asarray(run_pileup_saved(kj, cj, (ii_all, h_all), dev, best,
+                                              mcfg, n_kmers=len(kmers)))
+        p_sub = np.asarray(run_pileup_pass(kj, cj, dev, best, mcfg,
+                                           n_kmers=len(kmers)))
+        L = int(dev.genome_lens[best])
+        assert np.array_equal(p_saved[:, :L], p_sub[:, :L]), best
