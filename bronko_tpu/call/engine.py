@@ -78,34 +78,27 @@ def count_sample(path: str, cfg: CallConfig, k: int) -> tuple[np.ndarray, np.nda
             if cfg.counter == "host":
                 raise
             log.debug("host counter unavailable (%s); using device counter", e)
+    return _count_sample_device(path, cfg, k, *_read_chunks(path, cfg))
+
+
+def _count_sample_device(path, cfg, k, iterator, native_width):
+    """Feed read chunks to the device counter with shape-stable padding.
+    native_width is the C++ reader's fixed row width (None for the Python
+    parser); overlong reads restart the file on the Python parser."""
     counter = KmerCounter(k, cfg.min_kmers)
-    iterator, native_width = _read_chunks(path, cfg)
     lpad = 0
     for codes, lengths, n_reads in iterator:
         max_len = int(lengths[:n_reads].max()) if n_reads else 0
         if native_width is not None and max_len > native_width:
             log.warning("reads longer than %d in %s; using Python parser",
                         native_width, path)
-            return _count_sample_python(path, cfg, k)
+            return _count_sample_device(
+                path, cfg, k, read_fastq_chunks(path, cfg.chunk_reads), None)
         # stabilize shapes across chunks to avoid jit recompiles
         lpad = max(lpad, -(-max(max_len, 1) // 32) * 32)
         padded = np.full((cfg.chunk_reads, lpad), 4, np.uint8)
         w = min(lpad, codes.shape[1])
         padded[: codes.shape[0], :w] = codes[:, :w]
-        if lengths.shape[0] < cfg.chunk_reads:
-            lengths = np.pad(lengths, (0, cfg.chunk_reads - lengths.shape[0]))
-        counter.add_chunk(padded, lengths, n_reads)
-    kmers, counts = counter.finalize()
-    return kmers, counts, counter.stats
-
-
-def _count_sample_python(path: str, cfg: CallConfig, k: int):
-    counter = KmerCounter(k, cfg.min_kmers)
-    lpad = 0
-    for codes, lengths, n_reads in read_fastq_chunks(path, cfg.chunk_reads):
-        lpad = max(lpad, -(-codes.shape[1] // 32) * 32)
-        padded = np.full((cfg.chunk_reads, lpad), 4, np.uint8)
-        padded[: codes.shape[0], : codes.shape[1]] = codes
         if lengths.shape[0] < cfg.chunk_reads:
             lengths = np.pad(lengths, (0, cfg.chunk_reads - lengths.shape[0]))
         counter.add_chunk(padded, lengths, n_reads)
@@ -441,12 +434,19 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
 
     # host counting (C++, GIL-free) prefetches upcoming samples while the
     # device maps the current one — the reference's rayon-join concurrency
-    # (call.rs:301-307) generalized across the sample stream
+    # (call.rs:301-307) generalized across the sample stream. Submission is
+    # bounded (<= 2 ahead) so counted k-mer arrays don't pile up in memory
+    # on large cohorts.
     with ThreadPoolExecutor(max_workers=1) as pool:
-        futures = []
-        for job in jobs:
-            futures.append(pool.submit(_count_job, job, cfg, index.k))
-        for job, fut in zip(jobs, futures):
+        futures: list = []
+
+        def _ensure_submitted(upto: int) -> None:
+            while len(futures) < min(upto, len(jobs)):
+                futures.append(pool.submit(_count_job, jobs[len(futures)], cfg, index.k))
+
+        for ji, job in enumerate(jobs):
+            _ensure_submitted(ji + 2)
+            fut = futures[ji]
             display = job[0]
             label = display if len(job) == 1 else f"{job[0]}, {job[1]}"
             log.info("Processing %s", label)
@@ -483,10 +483,14 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
     if failures and not summaries:
         log.error("All samples failed")
         raise SystemExit(1)
+    if failures:
+        log.warning("%d of %d samples processed; failed: %s",
+                    len(summaries), len(jobs), ", ".join(failures))
 
     log.info("Printing overview")
     write_overview(cfg.output, summaries)
-    log.info("All samples processed successfully")
+    if not failures:
+        log.info("All samples processed successfully")
 
     if cfg.output_alignment:
         log.info("Building alignment(s)")

@@ -28,9 +28,11 @@ import math
 import numpy as np
 from scipy.stats import t as _student_t
 
-WINDOW_SIZE = 100
-ALPHA = 0.001
-MAX_TABLE_LEN = WINDOW_SIZE // 10
+from bronko_tpu.consts import (
+    NOISE_ALPHA as ALPHA,
+    NOISE_MAX_TABLE_LEN as MAX_TABLE_LEN,
+    NOISE_WINDOW_SIZE as WINDOW_SIZE,
+)
 
 
 @functools.lru_cache(maxsize=4096)

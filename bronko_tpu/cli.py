@@ -94,6 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Keep kmer count information")
     c.add_argument("--batch-size", type=int, default=1 << 18,
                    help="Device mapping batch size (TPU)")
+    c.add_argument("--chunk-reads", type=int, default=1 << 18,
+                   help="Reads per device-counter chunk")
+    c.add_argument("--counter", choices=("auto", "host", "device"), default="auto",
+                   help="K-mer counter: host C++ hash, device TPU sort, or auto")
     c.add_argument("--mesh", default=None,
                    help="Device mesh 'DxG' (data-parallel x genome shards), e.g. 4x2")
     _add_common(c)
@@ -123,14 +127,21 @@ def run_call_cmd(cfg: CallConfig) -> None:
 
     log = logging.getLogger("bronko")
     cfg.validate()
-    if cfg.genomes:
-        log.info("Creating bronko index from provided reference genomes")
-        index = build_index(cfg.kmer, cfg.genomes)
-    else:
-        log.info("Reading in provided bronko index")
-        index = load_index(cfg.db, expect_k=cfg.kmer)
+    try:
+        if cfg.genomes:
+            log.info("Creating bronko index from provided reference genomes")
+            index = build_index(cfg.kmer, cfg.genomes)
+        else:
+            log.info("Reading in provided bronko index")
+            index = load_index(cfg.db, expect_k=cfg.kmer)
+    except (OSError, ValueError) as e:
+        log.error("%s | Unable to build/read index, exiting", e)
+        raise SystemExit(1) from None
     dev = build_device_index(index)
-    run_call(cfg, index, dev)
+    summaries = run_call(cfg, index, dev)
+    n_jobs = len(cfg.reads) + len(cfg.first_pairs)
+    if len(summaries) < n_jobs:
+        raise SystemExit(2)  # partial failure: some samples were skipped
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -139,6 +139,12 @@ class CallConfig:
             log.warning("Noise multiplier is set above 2, may experience a drop in recall (we recommend ~1.5)")
         if len(self.first_pairs) != len(self.second_pairs):
             _fatal("Number of paired end sequences do not match, exiting.")
+        if self.counter not in ("auto", "host", "device"):
+            _fatal(f"Unknown counter '{self.counter}' (must be auto|host|device)")
+        if self.mesh is not None:
+            parts = self.mesh.split("x")
+            if len(parts) != 2 or not all(p.isdigit() and int(p) > 0 for p in parts):
+                _fatal(f"Invalid mesh '{self.mesh}' (expected DxG, e.g. 4x2)")
 
 
 def setup_logging(debug: bool, verbose: bool) -> None:

@@ -79,7 +79,6 @@ def load_reference_bkdb(path: str) -> BronkoIndex:
 
     n_buckets = r.varint()
     keys = np.empty(n_buckets, np.uint64)
-    lists: list[tuple[int, np.ndarray]] = []
     # postings accumulate as (key_rank, structured columns)
     all_fid, all_sid, all_loc, all_idx, all_can = [], [], [], [], []
     bucket_sizes = np.empty(n_buckets, np.int64)

@@ -49,8 +49,18 @@ def build_index(k: int, genome_paths: list[str]) -> BronkoIndex:
     all_keys, all_loc, all_meta = [], [], []
     files: list[FileMeta] = []
 
+    if len(genome_paths) > 65535:
+        raise ValueError("at most 65535 genome files are supported (u16 file ids)")
     for file_id, path in enumerate(genome_paths):
         records = read_fasta(path)
+        if len(records) > 256:
+            # seq ids are 8-bit in the posting layout (same capacity as the
+            # reference's u8 seq_id, build.rs:55); fail loudly instead of
+            # corrupting genome attribution
+            raise ValueError(
+                f"{path} has {len(records)} sequences; at most 256 per file "
+                f"are supported"
+            )
         sequences: list[SeqMeta] = []
         for seq_id, rec in enumerate(records):
             sequences.append(SeqMeta(rec.name, len(rec.seq), rec.seq))

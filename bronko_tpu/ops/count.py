@@ -98,7 +98,11 @@ def extract_and_count_chunk(codes, lengths, k: int, use_pallas: bool = False):
 class KmerCounter:
     """Streaming sample-level counter with host-side chunk merge."""
 
-    def __init__(self, k: int, min_count: int, count_cap: int = 1_000_000):
+    def __init__(self, k: int, min_count: int, count_cap: int | None = None):
+        from bronko_tpu.consts import KMER_COUNT_CAP
+
+        if count_cap is None:
+            count_cap = KMER_COUNT_CAP
         self.k = k
         self.min_count = min_count
         self.count_cap = count_cap

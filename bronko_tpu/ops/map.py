@@ -100,24 +100,14 @@ def probe_scatter(
     B = kmers.shape[0]
     J = len(cfg.positions)
     U = keys.shape[0]
-    T = cfg.total_len
     N2 = B * J
     LB = cfg.lane_budget if cfg.lane_budget else B * J * cfg.lane_factor
 
     valid_kmer = counts > 0
     canon, is_rc = canonical(kmers, k, jnp)
-    shifts = jnp.uint64(2) * jnp.arange(k - 1, -1, -1, dtype=jnp.uint64)
-    bases = ((canon[:, None] >> shifts) & jnp.uint64(3)).astype(jnp.int32)  # (B,k)
+    pc = _fold_table(canon, is_rc, counts, k)
     buckets = assign_buckets(canon, k, jnp)  # (B,k)
     q = buckets[:, np.asarray(cfg.positions)]  # (B,J)
-
-    # per-(kmer, position) fold table: one gather yields the non-canonical
-    # base, the mirrored-complement base, the kmer's rc flag, and its count
-    # (bits 0-1, 2-3, 4, 5+). Cuts 4 random gathers per lane to 1.
-    mirror = 3 - bases[:, ::-1]
-    pc = (bases | (mirror << 2)
-          | (is_rc.astype(jnp.int32) << 4)[:, None]
-          | (counts << 5)[:, None]).reshape(B * k)
 
     # method='sort' rides the TPU's fast sort instead of a 20-deep
     # gather-dependency chain (14x faster at viral index scale)
@@ -127,19 +117,58 @@ def probe_scatter(
 
     startf = offsets[ii_c].reshape(N2)
     endf = offsets[ii_c + 1].reshape(N2)
-    lens = jnp.where(hit.reshape(N2), endf - startf, 0)
-    cum = jnp.cumsum(lens, dtype=jnp.int32)              # inclusive
-    total = cum[-1]
-    diff = startf - (cum - lens)                         # start - exclusive cumsum
+    lensf = jnp.where(hit.reshape(N2), endf - startf, 0)
 
+    own_c, pidx_s, lane_valid, total = _expand_lanes(startf, lensf, LB)
+    pileup, b, fid = _scatter_lanes(
+        pileup, pc, postings[pidx_s], own_c, lane_valid, J=J, k=k)
+
+    # per-(kmer, genome) posting-hit counts
+    hits = jnp.zeros((B, cfg.num_genomes), jnp.int32).at[b, fid].add(
+        lane_valid.astype(jnp.int32), mode="drop"
+    )
+    overflow = (total > LB).astype(jnp.int32)
+    return pileup, hits, overflow
+
+
+def _fold_table(canon, is_rc, counts, k: int):
+    """Per-(kmer, position) fold table: one int32 gather yields the
+    non-canonical base, the mirrored-complement base, the kmer's rc flag,
+    and its count (bits 0-1, 2-3, 4, 5+). Cuts 4 random gathers per lane
+    to 1."""
+    B = canon.shape[0]
+    shifts = jnp.uint64(2) * jnp.arange(k - 1, -1, -1, dtype=jnp.uint64)
+    bases = ((canon[:, None] >> shifts) & jnp.uint64(3)).astype(jnp.int32)  # (B,k)
+    mirror = 3 - bases[:, ::-1]
+    return (bases | (mirror << 2)
+            | (is_rc.astype(jnp.int32) << 4)[:, None]
+            | (counts << 5)[:, None]).reshape(B * k)
+
+
+def _expand_lanes(startf, lensf, LB: int):
+    """Flat-join run-length expansion: per-(kmer,bucket) posting ranges ->
+    a lane array of LB posting indices, via one sorted-merge searchsorted.
+    Returns (owner index, posting index, lane validity, true lane total)."""
+    N2 = startf.shape[0]
+    cum = jnp.cumsum(lensf, dtype=jnp.int32)             # inclusive
+    total = cum[-1]
+    diff = startf - (cum - lensf)                        # start - exclusive cumsum
     lane_ids = jnp.arange(LB, dtype=jnp.int32)
     own = jnp.searchsorted(cum, lane_ids, side="right", method="sort")
     own_c = jnp.minimum(own, N2 - 1).astype(jnp.int32)
     lane_valid = lane_ids < jnp.minimum(total, LB)
     pidx_s = jnp.where(lane_valid, lane_ids + diff[own_c], 0)
+    return own_c, pidx_s, lane_valid, total
 
-    post = postings[pidx_s]                              # (LB,) int64
-    g = (post >> 22).astype(jnp.int32)
+
+def _scatter_lanes(pileup, pc, post, own_c, lane_valid, *, J: int, k: int,
+                   pos_base=0):
+    """Decode posting lanes and scatter the depth-max / count-add planes.
+    pos_base shifts global posting positions into the pileup's local space
+    (0 for a global pileup; the genome's base offset for pass 2).
+    Returns (pileup, owner kmer index b, posting file_id) for tallies."""
+    T = pileup.shape[1] - 1
+    g = (post >> 22).astype(jnp.int32) - pos_base
     m = (post & 0x3FFFFF).astype(jnp.int32)
     idx = m & 31
     is_canon = (m >> 5) & 1
@@ -159,14 +188,7 @@ def probe_scatter(
     cnt_target = jnp.where(fwd, PLANE_CNT_FWD * row_len, PLANE_CNT_REV * row_len) + cell
     flat = flat.at[depth_target].max(jnp.where(lane_valid, n_lane, 0))
     flat = flat.at[cnt_target].add(lane_valid.astype(jnp.int32))
-    pileup = flat.reshape(4, T + 1, 4)
-
-    # per-(kmer, genome) posting-hit counts
-    hits = jnp.zeros((B, cfg.num_genomes), jnp.int32).at[b, fid].add(
-        lane_valid.astype(jnp.int32), mode="drop"
-    )
-    overflow = (total > LB).astype(jnp.int32)
-    return pileup, hits, overflow
+    return flat.reshape(4, T + 1, 4), b, fid
 
 
 def classify_tallies(hits, valid_kmer, nb: int):
@@ -319,12 +341,7 @@ def pileup_from_saved_jit(kmers, counts, ii_all, h_all, offsets, postings,
         LB = cfg.lane_budget if cfg.lane_budget else B * J * cfg.lane_factor
 
         canon, is_rc = canonical(km, k, jnp)
-        shifts = jnp.uint64(2) * jnp.arange(k - 1, -1, -1, dtype=jnp.uint64)
-        bases = ((canon[:, None] >> shifts) & jnp.uint64(3)).astype(jnp.int32)
-        mirror = 3 - bases[:, ::-1]
-        pc = (bases | (mirror << 2)
-              | (is_rc.astype(jnp.int32) << 4)[:, None]
-              | (ct << 5)[:, None]).reshape(B * k)
+        pc = _fold_table(canon, is_rc, ct, k)
 
         bytes_g = ((h[..., None] >> (g_ids * 8)) & 0xFF).astype(jnp.int32)  # (B,J,G)
         lens = jnp.sum(jnp.where(g_ids == best, bytes_g, 0), axis=-1)
@@ -332,36 +349,10 @@ def pileup_from_saved_jit(kmers, counts, ii_all, h_all, offsets, postings,
         startf = (offsets[ii_c] + prefix).reshape(N2).astype(jnp.int32)
         lensf = lens.reshape(N2)
 
-        cum = jnp.cumsum(lensf, dtype=jnp.int32)
-        total = cum[-1]
-        diff = startf - (cum - lensf)
-        lane_ids = jnp.arange(LB, dtype=jnp.int32)
-        own = jnp.searchsorted(cum, lane_ids, side="right", method="sort")
-        own_c = jnp.minimum(own, N2 - 1).astype(jnp.int32)
-        lane_valid = lane_ids < jnp.minimum(total, LB)
-        pidx_s = jnp.where(lane_valid, lane_ids + diff[own_c], 0)
-
-        post = postings[pidx_s]
-        g = (post >> 22).astype(jnp.int32) - file_base
-        m = (post & 0x3FFFFF).astype(jnp.int32)
-        idx = m & 31
-        is_canon = (m >> 5) & 1
-
-        b = own_c // J
-        v = pc[b * k + idx]
-        base = jnp.where(is_canon == 1, (v >> 2) & 3, v & 3)
-        fwd = (is_canon == ((v >> 4) & 1))
-        n_lane = v >> 5
-        pos = jnp.where(lane_valid, g, T)
-        cell = pos * 4 + base
-
-        row_len = (T + 1) * 4
-        flat = pl.reshape(4 * row_len)
-        dt = jnp.where(fwd, PLANE_DEPTH_FWD * row_len, PLANE_DEPTH_REV * row_len) + cell
-        ctg = jnp.where(fwd, PLANE_CNT_FWD * row_len, PLANE_CNT_REV * row_len) + cell
-        flat = flat.at[dt].max(jnp.where(lane_valid, n_lane, 0))
-        flat = flat.at[ctg].add(lane_valid.astype(jnp.int32))
-        return (flat.reshape(4, T + 1, 4), ov | (total > LB).astype(jnp.int32)), None
+        own_c, pidx_s, lane_valid, total = _expand_lanes(startf, lensf, LB)
+        pl, _, _ = _scatter_lanes(pl, pc, postings[pidx_s], own_c, lane_valid,
+                                  J=J, k=k, pos_base=file_base)
+        return (pl, ov | (total > LB).astype(jnp.int32)), None
 
     (pileup, overflow), _ = jax.lax.scan(
         body, (pileup, jnp.int32(0)), (kmers, counts, ii_all, h_all))
@@ -384,19 +375,3 @@ def pileup_all_jit(kmers, counts, keys_g, offsets_g, postings_g, pileup, cfg: Ma
 
     pileup, ovs = jax.lax.scan(body, pileup, (kmers, counts))
     return pileup, jnp.max(ovs)
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(5, 6))
-def map_all_jit(kmers, counts, keys, offsets, postings, pileup, tallies, cfg: MapConfig):
-    """Map (nb, B) pre-batched k-mers in a single dispatch via lax.scan —
-    one host->device roundtrip per sample instead of one per batch."""
-
-    def body(carry, batch):
-        pl, tl, ov = carry
-        km, ct = batch
-        pl, tl, ov2 = map_batch(km, ct, keys, offsets, postings, pl, tl, cfg=cfg)
-        return (pl, tl, ov | ov2), None
-
-    (pileup, tallies, overflow), _ = jax.lax.scan(
-        body, (pileup, tallies, jnp.int32(0)), (kmers, counts))
-    return pileup, tallies, overflow
