@@ -126,15 +126,19 @@ def run_tally_pass(kj, cj, dev: DeviceIndex, mcfg) -> np.ndarray:
     bucket query); otherwise the flat-join with overflow retry."""
     from dataclasses import replace
 
-    use_hist = dev.hist is not None
-    hist = dev.hist if use_hist else jnp.zeros(1, jnp.int64)
+    if dev.hist is not None:
+        mode, hist = "hist", dev.hist
+    elif dev.hist_words is not None:
+        mode, hist = "words", dev.hist_words
+    else:
+        mode, hist = "flat", jnp.zeros(1, jnp.int64)
     while True:
         tallies = jnp.zeros((dev.num_genomes, 3), jnp.int32)
         tallies, overflow = tally_all_jit(
             kj, cj, dev.keys, dev.offsets, dev.postings, hist, tallies,
-            mcfg, use_hist,
+            mcfg, mode,
         )
-        if use_hist or not int(overflow):
+        if mode != "flat" or not int(overflow):
             return np.asarray(tallies).astype(np.int64)
         log.info("tally lane budget exceeded (factor %d); retrying",
                  mcfg.lane_factor)

@@ -47,6 +47,8 @@ class DeviceIndex:
     # per-bucket per-genome posting-count histogram, packed 8 bits/genome
     # (G <= 8 and max bucket <= 255 only; None otherwise)
     hist: jnp.ndarray | None = None
+    # large-panel variant: (U, ceil(G/8)) int64 words (8 < G <= 256)
+    hist_words: jnp.ndarray | None = None
     # per-genome sub-index, padded to common shapes across genomes:
     # g_keys (G, Ug) sentinel-padded, g_offsets (G, Ug+1),
     # g_postings (G, Pg) with gpos local to the genome's own pileup space
@@ -114,6 +116,7 @@ def build_device_index(index: BronkoIndex) -> DeviceIndex:
     # per-bucket per-genome histogram (tally pass needs 1 gather per query
     # instead of 1 per posting lane)
     hist = None
+    hist_words = None
     fid_grouped = False
     if meta.size:
         # postings within a bucket are genome-grouped (build appends
@@ -131,6 +134,17 @@ def build_device_index(index: BronkoIndex) -> DeviceIndex:
             hist = jnp.asarray(packed.astype(np.int32))
         else:
             hist = jnp.asarray(packed)
+    elif 8 < G <= 256 and E <= 255 and meta.size:
+        # large-panel histogram: 8 genomes per int64 word — the tally pass
+        # gathers ceil(G/8) words per bucket query instead of expanding
+        # every posting lane (which scales with the panel size)
+        h = np.zeros((U, G), np.int64)
+        np.add.at(h, (bucket_of_post, file_id), 1)
+        n_words = -(-G // 8)
+        hw = np.zeros((U, n_words), np.int64)
+        for g in range(G):
+            hw[:, g // 8] |= h[:, g] << (8 * (g % 8))
+        hist_words = jnp.asarray(hw)
 
     # per-genome sub-index for the pileup pass (only the selected genome's
     # postings are ever scattered)
@@ -188,6 +202,7 @@ def build_device_index(index: BronkoIndex) -> DeviceIndex:
         seq_slices=seq_slices,
         genome_lens=genome_lens,
         hist=hist,
+        hist_words=hist_words,
         g_keys=g_keys,
         g_offsets=g_offsets,
         g_postings=g_postings,

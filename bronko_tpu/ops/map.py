@@ -251,6 +251,22 @@ def tally_hist(kmers, counts, keys, offsets, hist, *, cfg: MapConfig):
     return per_g.sum(axis=1).astype(jnp.int32)             # (B,G)
 
 
+def tally_hist_multi(kmers, counts, keys, offsets, hist_words, *, cfg: MapConfig):
+    """Large-panel tally (8 < G <= 256): per-bucket genome counts packed 8
+    per int64 word. ceil(G/8) gathers per query — independent of how many
+    postings the panel piles into each bucket."""
+    G = cfg.num_genomes
+    n_words = hist_words.shape[1]
+    ii_c, hit, _, _ = _probe(kmers, counts, keys, offsets, cfg=cfg)
+    hw = jnp.where(hit[..., None], hist_words[ii_c], 0)    # (B,J,W)
+    cols = []
+    for w in range(n_words):
+        word = hw[..., w]
+        for s in range(min(8, G - 8 * w)):
+            cols.append(((word >> (8 * s)) & 0xFF).sum(axis=1))
+    return jnp.stack(cols, axis=1).astype(jnp.int32)       # (B,G)
+
+
 def tally_flat(kmers, counts, keys, offsets, postings, *, cfg: MapConfig):
     """Tally pass without the histogram (any G): flat-join expansion of
     posting fids only — no pileup work."""
@@ -276,17 +292,23 @@ def tally_flat(kmers, counts, keys, offsets, postings, *, cfg: MapConfig):
     return hits, overflow
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_hist"), donate_argnums=(6,))
+@functools.partial(jax.jit, static_argnames=("cfg", "mode"), donate_argnums=(6,))
 def tally_all_jit(kmers, counts, keys, offsets, postings, hist, tallies,
-                  cfg: MapConfig, use_hist: bool):
-    """Pass 1: per-genome tallies over (nb, B) batches, single dispatch."""
+                  cfg: MapConfig, mode: str):
+    """Pass 1: per-genome tallies over (nb, B) batches, single dispatch.
+
+    mode: 'hist' (packed single-word histogram, G<=8), 'words' (multi-word
+    histogram, 8<G<=256), or 'flat' (posting-lane expansion, any G)."""
     nb_pos = len(cfg.positions)
 
     def body(carry, batch):
         tl, ov = carry
         km, ct = batch
-        if use_hist:
+        if mode == "hist":
             hits = tally_hist(km, ct, keys, offsets, hist, cfg=cfg)
+            ov2 = jnp.int32(0)
+        elif mode == "words":
+            hits = tally_hist_multi(km, ct, keys, offsets, hist, cfg=cfg)
             ov2 = jnp.int32(0)
         else:
             hits, ov2 = tally_flat(km, ct, keys, offsets, postings, cfg=cfg)

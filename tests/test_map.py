@@ -177,10 +177,10 @@ def test_tally_hist_matches_flat_and_oracle(tmp_path):
 
     t0 = jnp.zeros((dev.num_genomes, 3), jnp.int32)
     t_hist, ov1 = tally_all_jit(kj, cj, dev.keys, dev.offsets, dev.postings,
-                                dev.hist, t0, mcfg, True)
+                                dev.hist, t0, mcfg, "hist")
     t1 = jnp.zeros((dev.num_genomes, 3), jnp.int32)
     t_flat, ov2 = tally_all_jit(kj, cj, dev.keys, dev.offsets, dev.postings,
-                                jnp.zeros(1, jnp.int64), t1, mcfg, False)
+                                jnp.zeros(1, jnp.int64), t1, mcfg, "flat")
     assert int(ov2) == 0
     assert np.array_equal(np.asarray(t_hist), np.asarray(t_flat))
 
@@ -263,3 +263,45 @@ def test_pileup_saved_equals_subindex_path(tmp_path):
                                            n_kmers=len(kmers)))
         L = int(dev.genome_lens[best])
         assert np.array_equal(p_saved[:, :L], p_sub[:, :L]), best
+
+
+def test_tally_words_large_panel(tmp_path):
+    """Multi-word histogram tally (8<G<=256) equals flat tallies and oracle."""
+    from bronko_tpu.ops.map import tally_all_jit
+
+    rng = np.random.default_rng(31)
+    k = 21
+    base = random_genome(rng, 250)
+    files = []
+    for i in range(13):
+        g = bytearray(base)
+        for p in rng.integers(0, len(base), 8):
+            g[p] = b"ACGT"[rng.integers(4)]
+        files.append((f"g{i:02d}", [(f"s{i}", bytes(g))]))
+    index = make_index(tmp_path, files, k)
+    dev = build_device_index(index)
+    assert dev.hist is None and dev.hist_words is not None
+    assert dev.hist_words.shape[1] == 2
+    mcfg = dev.map_config(2, False)
+    kmer_counts = sample_kmers(rng, files, k, n_exact=120, n_mut=50, n_junk=8)
+    kmers = np.asarray([kc[0] for kc in kmer_counts], np.uint64)
+    counts = np.asarray([kc[1] for kc in kmer_counts], np.int32)
+    B = 128
+    nb = -(-len(kmers) // B)
+    kb = np.zeros(nb * B, np.uint64); kb[:len(kmers)] = kmers
+    cb = np.zeros(nb * B, np.int32); cb[:len(counts)] = counts
+    kj = jnp.asarray(kb.reshape(nb, B)); cj = jnp.asarray(cb.reshape(nb, B))
+
+    t0 = jnp.zeros((dev.num_genomes, 3), jnp.int32)
+    t_words, _ = tally_all_jit(kj, cj, dev.keys, dev.offsets, dev.postings,
+                               dev.hist_words, t0, mcfg, "words")
+    t1 = jnp.zeros((dev.num_genomes, 3), jnp.int32)
+    t_flat, ov = tally_all_jit(kj, cj, dev.keys, dev.offsets, dev.postings,
+                               jnp.zeros(1, jnp.int64), t1, mcfg, "flat")
+    assert int(ov) == 0
+    assert np.array_equal(np.asarray(t_words), np.asarray(t_flat))
+
+    from tests.oracle.map_oracle import build_oracle_index, map_kmers_oracle
+    _, o_tallies = map_kmers_oracle(kmer_counts, build_oracle_index(k, files))
+    for fid in range(len(files)):
+        assert np.asarray(t_words)[fid].tolist() == o_tallies.get(fid, [0, 0, 0])
