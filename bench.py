@@ -127,7 +127,7 @@ def main():
     bcfg = CallConfig(genomes=None, db="bench", reads=[fastq] * n_batch,
                       output=os.path.join(CACHE, "out_batch"))
     batch_s = float("inf")
-    for _ in range(2):  # best-of-2 damps host-side contention noise
+    for _ in range(3):  # best-of-3 damps host-side contention noise
         t0 = time.time()
         summaries = run_call(bcfg, index, dev)
         batch_s = min(batch_s, time.time() - t0)
