@@ -425,6 +425,15 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
     variant_info: list[tuple[str, list[VCFRecord]]] = []
     failures: list[str] = []
 
+    profiling = False
+    if cfg.profile_dir:
+        try:
+            jax.profiler.start_trace(cfg.profile_dir)
+            profiling = True
+            log.info("Profiling to %s", cfg.profile_dir)
+        except Exception as e:  # noqa: BLE001
+            log.warning("profiler unavailable: %s", e)
+
     sharded = None
     if cfg.mesh:
         log.info("Sharding tally pass over a %s device mesh", cfg.mesh)
@@ -490,6 +499,9 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
     if failures:
         log.warning("%d of %d samples processed; failed: %s",
                     len(summaries), len(jobs), ", ".join(failures))
+
+    if profiling:
+        jax.profiler.stop_trace()
 
     log.info("Printing overview")
     write_overview(cfg.output, summaries)

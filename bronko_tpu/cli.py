@@ -100,6 +100,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="K-mer counter: host C++ hash, device TPU sort, or auto")
     c.add_argument("--mesh", default=None,
                    help="Device mesh 'DxG' (data-parallel x genome shards), e.g. 4x2")
+    c.add_argument("--profile-dir", dest="profile_dir", default=None,
+                   help="Write a jax.profiler trace of the run to this directory")
     _add_common(c)
     return ap
 

@@ -89,6 +89,7 @@ class CallConfig:
     counter: str = "auto"  # 'auto' | 'host' (C++ hash) | 'device' (TPU sort)
     mesh: str | None = None  # 'DxG' device mesh, e.g. '4x2' = 4-way data
     #  parallel x 2-way genome sharding for the tally pass; None = 1 device
+    profile_dir: str | None = None  # write a jax.profiler trace here
 
     def validate(self) -> None:  # mirrors call.rs:30-136
         _check_k(self.kmer)
