@@ -76,10 +76,13 @@ def main():
     import bronko_tpu  # noqa: F401
     import jax
 
+    import jax.numpy as jnp
+
     from bronko_tpu.call.engine import (
         _prepare_batches, call_sample_variants, count_sample,
-        pick_best_genome, run_pileup_pass, run_tally_pass,
+        pick_best_genome, run_pileup_saved,
     )
+    from bronko_tpu.ops.map import tally_save_jit
     from bronko_tpu.config import CallConfig
     from bronko_tpu.index.build import build_index
     from bronko_tpu.index.layout import build_device_index
@@ -100,9 +103,13 @@ def main():
         kmers, counts, cstats = count_sample(fastq, cfg, index.k)
         t_count = time.time()
         kj, cj = _prepare_batches(kmers, counts, cfg.batch_size)
-        tallies = run_tally_pass(kj, cj, dev, mcfg)
+        tj = jnp.zeros((dev.num_genomes, 3), jnp.int32)
+        tj, ii_all, h_all = tally_save_jit(
+            kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
+        tallies = np.asarray(tj).astype(np.int64)
         best = pick_best_genome(tallies, dev)
-        pileup = run_pileup_pass(kj, cj, dev, best, mcfg, n_kmers=kmers.shape[0])
+        pileup = run_pileup_saved(kj, cj, (ii_all, h_all), dev, best, mcfg,
+                                  n_kmers=kmers.shape[0])
         t_map = time.time()
         records, stats, _ = call_sample_variants(index, dev, cfg, best, pileup)
         t_call = time.time()
