@@ -97,6 +97,7 @@ def main():
     build_s = time.time() - t0
 
     mcfg = dev.map_config(cfg.n_fixed, cfg.use_full_kmer)
+    assert dev.hist is not None and dev.fid_grouped, "bench expects a small panel"
 
     def run_once():
         t_start = time.time()
