@@ -175,6 +175,12 @@ def _baseline_noise_py(freqs3: np.ndarray) -> np.ndarray:
         if i >= half:
             w = i - half
             if w < L:
+                # Deliberate divergence: when every max-table entry was
+                # rejected as an outlier (curr_max_idx == MAX_TABLE_LEN), the
+                # reference indexes maxes[10] out of bounds and PANICS
+                # (call.rs:954). We clamp to the last (just-rejected) entry —
+                # graceful degradation instead of a crash; recorded in
+                # docs/parity_checklist.md. The C++ twin clamps identically.
                 out[w, 0] = maxes[min(curr_max_idx, MAX_TABLE_LEN - 1)]
                 out[w, 1] = curr_mu
                 out[w, 2] = _sqrt(curr_var)

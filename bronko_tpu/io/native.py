@@ -41,7 +41,13 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO_PATH) and not _build():
+        # Always invoke make: it is a ~20ms no-op when the .so is newer than
+        # every source (the Makefile lists them as prerequisites), and it
+        # rebuilds after source edits instead of silently loading a stale
+        # binary. If make fails but an older .so exists, still try it.
+        if not _build() and not os.path.exists(_SO_PATH):
+            return None
+        if not os.path.exists(_SO_PATH):
             return None
         try:
             lib = ctypes.CDLL(_SO_PATH)

@@ -151,7 +151,12 @@ def _expand_lanes(startf, lensf, LB: int):
     Returns (owner index, posting index, lane validity, true lane total)."""
     N2 = startf.shape[0]
     cum = jnp.cumsum(lensf, dtype=jnp.int32)             # inclusive
-    total = cum[-1]
+    # exact int64 total: if the true posting load ever exceeded 2^31 the
+    # int32 cumsum would wrap and the overflow flag computed from it could
+    # read "fits" — postings silently dropped instead of retried. The
+    # expansion itself only needs the wrap-free prefix when total <= LB
+    # (LB < 2^31 always), so int32 cum stays valid whenever we don't retry.
+    total = jnp.sum(lensf.astype(jnp.int64))
     diff = startf - (cum - lensf)                        # start - exclusive cumsum
     lane_ids = jnp.arange(LB, dtype=jnp.int32)
     own = jnp.searchsorted(cum, lane_ids, side="right", method="sort")
@@ -278,17 +283,11 @@ def tally_flat(kmers, counts, keys, offsets, postings, *, cfg: MapConfig):
     startf = offsets[ii_c].reshape(N2)
     endf = offsets[ii_c + 1].reshape(N2)
     lens = jnp.where(hit.reshape(N2), endf - startf, 0)
-    cum = jnp.cumsum(lens, dtype=jnp.int32)
-    diff = startf - (cum - lens)
-    lane_ids = jnp.arange(LB, dtype=jnp.int32)
-    own = jnp.searchsorted(cum, lane_ids, side="right", method="sort")
-    own_c = jnp.minimum(own, N2 - 1).astype(jnp.int32)
-    lane_valid = lane_ids < jnp.minimum(cum[-1], LB)
-    pidx = jnp.where(lane_valid, lane_ids + diff[own_c], 0)
+    own_c, pidx, lane_valid, total = _expand_lanes(startf, lens, LB)
     fid = (postings[pidx] & 0x3FFFFF).astype(jnp.int32) >> 6
     hits = jnp.zeros((B, cfg.num_genomes), jnp.int32).at[own_c // J, fid].add(
         lane_valid.astype(jnp.int32), mode="drop")
-    overflow = (cum[-1] > LB).astype(jnp.int32)
+    overflow = (total > LB).astype(jnp.int32)
     return hits, overflow
 
 
