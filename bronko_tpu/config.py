@@ -53,6 +53,15 @@ class BuildConfig:
                 )
         if self.threads <= 0:
             _fatal("Number of threads must be greater than 0")
+        else:
+            import os as _os
+
+            available = _os.cpu_count() or 1
+            if self.threads > available:  # build.rs:95-98
+                _fatal(
+                    f"You requested {self.threads} threads but only have "
+                    f"{available} available on your system"
+                )
 
 
 @dataclass
@@ -112,6 +121,15 @@ class CallConfig:
                     )
         if self.threads <= 0:
             _fatal("Number of threads must be greater than 0")
+        else:
+            import os as _os
+
+            available = _os.cpu_count() or 1
+            if self.threads > available:  # call.rs:80-83
+                _fatal(
+                    f"You requested {self.threads} threads but only have "
+                    f"{available} available on your system"
+                )
         if self.min_af < 0.01:
             log.warning(
                 "Minimum allele frequency set below 0.01, more false positive variants "
@@ -127,17 +145,33 @@ class CallConfig:
             _fatal("Number of kmers per strand set >= k, please set lower value (recommended 2-4, default 2)")
         elif self.n_per_strand >= 5:
             log.warning("Number of kmers per strand set very high, only strongly supported variants will be returned")
-        if self.strand_balance_ratio < 0.0 or self.strand_balance_ratio > 1.0:
-            _fatal("Strand balance ratio must be between 0.0 and 1.0")
+        if self.strand_balance_ratio < 0.0:
+            _fatal("Strand balance ratio is set to below 0, must be between 0.0 and 1.0")
+        elif self.strand_balance_ratio > 1.0:
+            _fatal("Strand balance ratio is set above 1, must be between 0.0 and 1.0")
         elif self.strand_balance_ratio == 1.0:
             log.warning("Strand balance ratio is set to 1, all variants will pass this filter")
+        if self.min_variant_depth < 0:  # call.rs:114-116
+            log.warning(
+                "Minimum variant depth set below 0, all variants will be returned "
+                "if passing other thresholds"
+            )
+        if self.min_depth < 0:  # call.rs:118-120
+            log.warning(
+                "Minimum total depth for minor variant calling set below 0, all "
+                "variants will be returned if passing other thresholds"
+            )
         if self.variant_multiplier < 1.0:
             _fatal(
                 "Noise multiplier for variant detection is set to below 1.0, must be "
                 "greater than 1.0 (recommended between 1.3-2.0)"
             )
         elif self.variant_multiplier > 2.0:
-            log.warning("Noise multiplier is set above 2, may experience a drop in recall (we recommend ~1.5)")
+            # reference text says "Strand balance ratio" here — a wording slip
+            # in call.rs:126 replicated verbatim for log parity
+            log.warning("Strand balance ratio is set above 2, may experience a drop in recall (we recommend ~1.5)")
+        elif self.variant_multiplier == 1.0:  # call.rs:127-128
+            log.warning("Noise multiplier for variant detection set to 1.0, all variants will pass this filter")
         if len(self.first_pairs) != len(self.second_pairs):
             _fatal("Number of paired end sequences do not match, exiting.")
         if self.counter not in ("auto", "host", "device"):

@@ -28,6 +28,7 @@ def _call(**kw):
     dict(db=None, genomes=None, reads=["r.fastq"]),
     dict(genomes=["g.fasta"]),  # both db and genomes
     dict(threads=0),
+    dict(threads=100_000),  # more than available (call.rs:80-83)
 ])
 def test_call_validate_fatal(kw):
     with pytest.raises(SystemExit):
@@ -40,10 +41,31 @@ def test_call_validate_fatal(kw):
     dict(min_af=0.6),            # warn only
     dict(n_per_strand=0),        # warn only
     dict(variant_multiplier=2.5),
+    dict(variant_multiplier=1.0),  # warn only (call.rs:127-128)
+    dict(min_variant_depth=-1),    # warn only (call.rs:114-116)
+    dict(min_depth=-1),            # warn only (call.rs:118-120)
     dict(mesh="4x2"),
 ])
 def test_call_validate_ok(kw):
     _call(**kw).validate()
+
+
+def test_build_threads_vs_available():
+    with pytest.raises(SystemExit):
+        BuildConfig(genomes=["x.fasta"], threads=100_000).validate()
+
+
+@pytest.mark.parametrize("kw,needle", [
+    (dict(min_variant_depth=-1), "Minimum variant depth set below 0"),
+    (dict(min_depth=-1), "Minimum total depth for minor variant calling set below 0"),
+    (dict(variant_multiplier=1.0), "set to 1.0, all variants will pass"),
+])
+def test_call_validate_warn_text(kw, needle, caplog):
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="bronko"):
+        _call(**kw).validate()
+    assert any(needle in r.message for r in caplog.records)
 
 
 def test_build_validate():
