@@ -26,8 +26,8 @@ import functools
 import math
 
 import numpy as np
-from scipy.stats import t as _student_t
 
+from bronko_tpu.call._tau_golden import N_MAX as _TAU_N_MAX, TAU as _TAU_GOLDEN
 from bronko_tpu.consts import (
     NOISE_ALPHA as ALPHA,
     NOISE_MAX_TABLE_LEN as MAX_TABLE_LEN,
@@ -37,9 +37,21 @@ from bronko_tpu.consts import (
 
 @functools.lru_cache(maxsize=4096)
 def _tau(curr_n: int) -> float:
-    """Modified Thompson tau for the current sample size (call.rs:922-929)."""
+    """Modified Thompson tau for the current sample size (call.rs:922-929).
+
+    Served from the precomputed correctly-rounded table (_tau_golden.py:
+    mpmath 50-digit Student's-t inverse CDF, rounded once to f64, then the
+    reference's f64 tau formula). The window holds at most WINDOW_SIZE*3
+    samples so curr_n < N_MAX always; the scipy fallback exists only for
+    out-of-domain queries from tests. scipy's Cephes ppf is up to ~3.8e3 ulp
+    off the correctly-rounded value (measured, tests/test_tau.py), which is
+    why the table — not a library call — is the product path."""
     if curr_n <= 2:
         return math.inf
+    if curr_n < _TAU_N_MAX:
+        return _TAU_GOLDEN[curr_n]
+    from scipy.stats import t as _student_t
+
     df = float(curr_n - 2)
     t_crit = float(_student_t.ppf(1.0 - ALPHA / curr_n, df))
     return (t_crit * (curr_n - 1.0)) / (
