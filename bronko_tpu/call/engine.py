@@ -145,14 +145,29 @@ def run_tally_pass(kj, cj, dev: DeviceIndex, mcfg) -> np.ndarray:
         mcfg = replace(mcfg, lane_factor=mcfg.lane_factor * 2)
 
 
-class ShardedTally:
-    """Multi-device pass-1 executor over a ('data', 'genome') mesh."""
+class ShardedMapper:
+    """Multi-device mapping executor over a ('data', 'genome') mesh.
+
+    Shards the WHOLE per-sample device pipeline, not just pass 1:
+      * pass 1 (tally): read batches shard over 'data', the index shards
+        over 'genome' (whole files per shard — "hundreds of strains" past
+        one chip's HBM); per-kmer hit counts psum over 'genome' before
+        classification; ONE dispatch scans every batch (no per-batch host
+        round-trips).
+      * pass 2 (pileup): the selected genome's sub-index is tiny, so it is
+        replicated and the batch axis shards over ALL D*G devices; partial
+        pileups merge with pmax (depth planes) / psum (count planes) — the
+        collective form of the reference's DashMap merge
+        (call.rs:1420-1431). Bit-identical to the single-device pass.
+    """
 
     def __init__(self, index: BronkoIndex, cfg: CallConfig):
         import jax as _jax
 
         from bronko_tpu.parallel.mesh import make_mesh
-        from bronko_tpu.parallel.pipeline import make_sharded_tally_step, split_index
+        from bronko_tpu.parallel.pipeline import (
+            make_sharded_pileup_scan, make_sharded_tally_scan, split_index,
+        )
 
         d_str, g_str = cfg.mesh.split("x")
         self.n_data, self.n_genome = int(d_str), int(g_str)
@@ -160,34 +175,59 @@ class ShardedTally:
         if n_need > len(_jax.devices()):
             raise SystemExit(
                 f"mesh {cfg.mesh} needs {n_need} devices, have {len(_jax.devices())}")
+        self.n_devices = n_need
         self.mesh = make_mesh(self.n_data, self.n_genome)
         self.sharded = split_index(index, self.n_genome)
         self.mcfg = self.sharded.map_config(cfg.n_fixed, cfg.use_full_kmer)
         self.keys = jnp.asarray(self.sharded.keys)
         self.offsets = jnp.asarray(self.sharded.offsets)
         self.postings = jnp.asarray(self.sharded.postings)
-        self._step = make_sharded_tally_step(self.mesh, self.mcfg)
+        self._tally = make_sharded_tally_scan(self.mesh, self.mcfg)
+        self._pileup_steps: dict = {}  # keyed by (lane_budget, total_len)
 
-    def run(self, kj, cj) -> np.ndarray:
+    def run_tallies(self, kj, cj) -> np.ndarray:
         from dataclasses import replace
 
-        from bronko_tpu.parallel.pipeline import make_sharded_tally_step
+        from bronko_tpu.parallel.pipeline import make_sharded_tally_scan
 
         while True:
-            total = np.zeros((self.sharded.num_genomes, 3), np.int64)
-            overflowed = False
-            for i in range(kj.shape[0]):
-                tl, ov = self._step(kj[i], cj[i], self.keys, self.offsets, self.postings)
-                if int(np.asarray(ov)[0]):
-                    overflowed = True
-                    break
-                total += np.asarray(tl).astype(np.int64)
-            if not overflowed:
-                return total
+            tl, ov = self._tally(kj, cj, self.keys, self.offsets, self.postings)
+            if not int(np.asarray(ov)[0]):
+                return np.asarray(tl).astype(np.int64)
             log.info("sharded tally lane budget exceeded (factor %d); retrying",
                      self.mcfg.lane_factor)
             self.mcfg = replace(self.mcfg, lane_factor=self.mcfg.lane_factor * 2)
-            self._step = make_sharded_tally_step(self.mesh, self.mcfg)
+            self._tally = make_sharded_tally_scan(self.mesh, self.mcfg)
+
+    def run_pileup(self, kj, cj, dev: DeviceIndex, best: int, mcfg,
+                   n_kmers: int | None = None):
+        from dataclasses import replace
+
+        from bronko_tpu.parallel.pipeline import make_sharded_pileup_scan
+
+        # per-device lane budget: the global pass-2 budget split across the
+        # flattened mesh (each device probes 1/(D*G) of the batch)
+        budget = max(1024, _pass2_budget(kj, mcfg, n_kmers) // self.n_devices)
+        keys_g = dev.g_keys[best]
+        offsets_g = dev.g_offsets[best]
+        postings_g = dev.g_postings[best]
+        while True:
+            gcfg = replace(
+                mcfg,
+                total_len=dev.g_total_len,
+                max_bucket=dev.g_max_bucket,
+                lane_budget=budget,
+            )
+            key = (budget, gcfg.total_len)
+            step = self._pileup_steps.get(key)
+            if step is None:
+                step = self._pileup_steps[key] = make_sharded_pileup_scan(
+                    self.mesh, gcfg)
+            pileup, ov = step(kj, cj, keys_g, offsets_g, postings_g)
+            if not int(np.asarray(ov)[0]):
+                return pileup
+            log.info("sharded pileup lane budget exceeded (%d); retrying", budget)
+            budget *= 2
 
 
 def _pass2_budget(kj, mcfg, n_kmers):
@@ -328,7 +368,7 @@ def _process_one(
     index: BronkoIndex,
     dev: DeviceIndex,
     cfg: CallConfig,
-    sharded: "ShardedTally | None" = None,
+    sharded: "ShardedMapper | None" = None,
 ) -> tuple[SampleSummary, tuple[str, list[VCFRecord]]]:
     t0 = time.time()
     mcfg = dev.map_config(cfg.n_fixed, cfg.use_full_kmer)
@@ -350,7 +390,7 @@ def _process_one(
             tallies = np.asarray(tj).astype(np.int64)
             saved = (ii_all, h_all)
         elif sharded is not None:
-            tallies = sharded.run(kj, cj)
+            tallies = sharded.run_tallies(kj, cj)
         else:
             tallies = run_tally_pass(kj, cj, dev, mcfg)
     log.info("Tallied %d kmers in %.2fs", kmers.shape[0], time.time() - t0)
@@ -377,7 +417,12 @@ def _process_one(
         )
 
     t1 = time.time()
-    if kj is not None and saved is not None:
+    if kj is not None and sharded is not None and dev.g_keys is not None:
+        # pass 2 sharded over the whole mesh (replicated sub-index,
+        # batch-parallel scatter, pmax/psum merge)
+        pileup = sharded.run_pileup(kj, cj, dev, best, mcfg,
+                                    n_kmers=kmers.shape[0])
+    elif kj is not None and saved is not None:
         pileup = run_pileup_saved(kj, cj, saved, dev, best, mcfg,
                                   n_kmers=kmers.shape[0])
     elif kj is not None and dev.g_keys is not None:
@@ -436,10 +481,12 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
 
     sharded = None
     if cfg.mesh:
-        log.info("Sharding tally pass over a %s device mesh", cfg.mesh)
-        sharded = ShardedTally(index, cfg)
-        if cfg.batch_size % sharded.n_data:
-            raise SystemExit("batch size must be divisible by the data-mesh axis")
+        log.info("Sharding the mapping pipeline over a %s device mesh", cfg.mesh)
+        sharded = ShardedMapper(index, cfg)
+        if cfg.batch_size % sharded.n_devices:
+            raise SystemExit(
+                "batch size must be divisible by the mesh device count "
+                f"({sharded.n_devices})")
 
     jobs = [[p] for p in cfg.reads] + [
         [r1, r2] for r1, r2 in zip(cfg.first_pairs, cfg.second_pairs)

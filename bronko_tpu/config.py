@@ -97,7 +97,8 @@ class CallConfig:
     chunk_reads: int = 1 << 18
     counter: str = "auto"  # 'auto' | 'host' (C++ hash) | 'device' (TPU sort)
     mesh: str | None = None  # 'DxG' device mesh, e.g. '4x2' = 4-way data
-    #  parallel x 2-way genome sharding for the tally pass; None = 1 device
+    #  parallel x 2-way genome index sharding for the WHOLE mapping
+    #  pipeline (tally pass 1 + pileup pass 2); None = 1 device
     profile_dir: str | None = None  # write a jax.profiler trace here
 
     def validate(self) -> None:  # mirrors call.rs:30-136

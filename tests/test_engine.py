@@ -174,8 +174,9 @@ def test_large_panel_flat_tally(tmp_path):
 
 
 def test_mesh_sharded_engine(synth):
-    """--mesh DxG: sharded tally pass must produce the same outputs as the
-    single-device engine (8 virtual CPU devices)."""
+    """--mesh DxG: the FULLY sharded engine (tally pass 1 + pileup pass 2
+    over the mesh) must produce byte-identical outputs to the single-device
+    engine — VCF, overview, and pileup TSV (8 virtual CPU devices)."""
     import jax
 
     if len(jax.devices()) < 8:
@@ -187,10 +188,48 @@ def test_mesh_sharded_engine(synth):
     out_1 = str(tmp / "out_singledev")
     index = build_index(21, [ref])
     dev = build_device_index(index)
-    run_call(small_cfg(genomes=[ref], reads=[fq], output=out_1), index, dev)
-    run_call(small_cfg(genomes=[ref], reads=[fq], output=out_s, mesh="4x2"),
-             index, dev)
-    assert open(os.path.join(out_s, "samp.vcf")).read() == \
-        open(os.path.join(out_1, "samp.vcf")).read()
-    assert open(os.path.join(out_s, "bronko_overview.tsv")).read() == \
-        open(os.path.join(out_1, "bronko_overview.tsv")).read()
+    run_call(small_cfg(genomes=[ref], reads=[fq], output=out_1,
+                       output_pileup=True), index, dev)
+    run_call(small_cfg(genomes=[ref], reads=[fq], output=out_s, mesh="4x2",
+                       output_pileup=True), index, dev)
+    for fname in ("samp.vcf", "bronko_overview.tsv", "samp.tsv"):
+        assert open(os.path.join(out_s, fname)).read() == \
+            open(os.path.join(out_1, fname)).read(), fname
+
+
+def test_mesh_sharded_engine_multigenome(tmp_path):
+    """Mesh run on a 4-genome panel where reads pick genome 2: pass-2
+    sharding must land on the right sub-index and stay byte-identical."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    rng = np.random.default_rng(23)
+    base = make_genome(rng, 1500)
+    paths = []
+    for g in range(4):
+        gen = bytearray(base)
+        for p in rng.integers(0, len(base), 40):
+            gen[p] = b"ACGT"[rng.integers(4)]
+        p_ = tmp_path / f"g{g}.fasta"
+        write_fasta(str(p_), f"g{g}", bytes(gen))
+        paths.append(str(p_))
+    truth = open(paths[2]).read().split("\n", 1)[1].replace("\n", "").encode()
+    reads, _ = make_sample(truth, rng, read_len=80, depth=200,
+                           major_positions={400: 0.9}, minor_positions={},
+                           error_rate=0.003)
+    fq = str(tmp_path / "m.fastq.gz")
+    write_fastq(fq, reads)
+
+    index = build_index(21, paths)
+    dev = build_device_index(index)
+    out_1 = str(tmp_path / "o1")
+    out_s = str(tmp_path / "os")
+    run_call(small_cfg(genomes=paths, reads=[fq], output=out_1,
+                       output_pileup=True), index, dev)
+    run_call(small_cfg(genomes=paths, reads=[fq], output=out_s, mesh="2x4",
+                       output_pileup=True), index, dev)
+    for fname in ("m.vcf", "bronko_overview.tsv", "m.tsv"):
+        assert open(os.path.join(out_s, fname)).read() == \
+            open(os.path.join(out_1, fname)).read(), fname
+    assert "g2" in open(os.path.join(out_s, "bronko_overview.tsv")).read()
