@@ -6,30 +6,48 @@ FASTQ with planted variants (cached), runs the full call pipeline
 (count -> map -> select -> call -> VCF), and prints ONE JSON line:
 
   {"metric": "reads_per_sec_per_chip", "value": N, "unit": "reads/s",
-   "vs_baseline": r}
+   "vs_baseline": r, "detail": {...}}
 
-vs_baseline is value / 100_000 — a nominal 100k reads/s/core stand-in for
-the reference CPU pipeline (the reference publishes no numeric baseline;
-BASELINE.md documents this).
+vs_baseline is MEASURED: the identical pipeline is first run in a separate
+process on the host CPU (XLA CPU backend, same code, same input, same
+warm-cache discipline), and vs_baseline = tpu_reads_per_sec /
+host_reads_per_sec. The reference publishes no numeric baseline
+(BASELINE.md), so the fair stand-in is this pipeline on the CPU the TPU is
+being compared against.
 
-The first timed run follows an identical warmup run so XLA compiles (slow
-through the axon tunnel) are excluded from the steady-state metric.
+detail carries the round-2 perf accounting (VERDICT r1 item 2):
+  * stage times: count_s (host C++), tally_s / pileup_s (device, forced via
+    np.asarray — block_until_ready under-reports through the axon relay),
+    call_s (host f64 caller);
+  * roofline: the map stages' random-access lane count (pass-1 histogram
+    gathers + pass-2 posting expansion x 4 accesses/lane) priced at the
+    chip's measured 23 ns/lane random-gather ceiling (docs/design.md),
+    vs achieved device time -> roofline_pct (sort-based probe costs are
+    not credited, so 100% is unreachable by design);
+  * scaling: a CPU-mesh proxy (subprocess, 8 virtual devices) running the
+    product ShardedMapper at 1 vs 8 devices on the same k-mer workload;
+    efficiency = t1 / (8 * t8).
+
+Run modes (internal): `bench.py --host-baseline` and `bench.py
+--scale-proxy` are the subprocess entry points; both print one JSON line.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_cache")
 REF_FIXTURES = "/root/reference/test_data/4_sarscov2"
 N_READS = 300_000
 READ_LEN = 150
-BASELINE_READS_PER_SEC = 100_000.0
+GATHER_NS_PER_LANE = 23.0  # measured on this chip (docs/design.md)
 
 
 def _ensure_data():
@@ -41,7 +59,7 @@ def _ensure_data():
             for f in os.listdir(REF_FIXTURES)
             if f.endswith(".fasta")
         )
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, REPO)
     from tests.make_synthetic import make_genome, make_sample, write_fasta, write_fastq
 
     rng = np.random.default_rng(2024)
@@ -70,12 +88,11 @@ def _ensure_data():
     return genome_paths, fastq
 
 
-def main():
-    genome_paths, fastq = _ensure_data()
+def _single_sample_run(index, dev, cfg, fastq):
+    """One full single-sample pipeline pass with per-stage forced timings.
 
-    import bronko_tpu  # noqa: F401
-    import jax
-
+    Returns a dict of stage timings plus the lane/byte accounting needed
+    for the roofline figures."""
     import jax.numpy as jnp
 
     from bronko_tpu.call.engine import (
@@ -83,6 +100,57 @@ def main():
         pick_best_genome, run_pileup_saved,
     )
     from bronko_tpu.ops.map import tally_save_jit
+
+    mcfg = dev.map_config(cfg.n_fixed, cfg.use_full_kmer)
+    J = len(mcfg.positions)
+
+    t_start = time.time()
+    kmers, counts, cstats = count_sample(fastq, cfg, index.k)
+    t_count = time.time()
+
+    kj, cj = _prepare_batches(kmers, counts, cfg.batch_size)
+    h2d_bytes = kj.size * 8 + cj.size * 4
+    tj = jnp.zeros((dev.num_genomes, 3), jnp.int32)
+    tj, ii_all, h_all = tally_save_jit(
+        kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
+    tallies = np.asarray(tj).astype(np.int64)  # forces pass-1 completion
+    t_tally = time.time()
+
+    best = pick_best_genome(tallies, dev)
+    pileup = run_pileup_saved(kj, cj, (ii_all, h_all), dev, best, mcfg,
+                              n_kmers=kmers.shape[0])
+    # force pass-2 completion with a small transfer (full pileup moves later)
+    np.asarray(pileup[0, :8])
+    t_pileup = time.time()
+
+    records, stats, _ = call_sample_variants(index, dev, cfg, best, pileup)
+    t_call = time.time()
+
+    # pass-2 scatter lanes = total (kmer, posting) events = count-plane mass
+    lanes2 = int(np.asarray(pileup[2:].sum()))
+    return dict(
+        reads=cstats.total_reads,
+        unique=cstats.unique_counted_kmers,
+        n_variants=len(records),
+        count_s=t_count - t_start,
+        tally_s=t_tally - t_count,
+        pileup_s=t_pileup - t_tally,
+        call_s=t_call - t_pileup,
+        total_s=t_call - t_start,
+        probe_lanes=cstats.unique_counted_kmers * J,
+        scatter_lanes=lanes2,
+        h2d_bytes=h2d_bytes,
+    )
+
+
+def _pipeline_main():
+    """Shared body for the in-process TPU run and the --host-baseline run."""
+    genome_paths, fastq = _ensure_data()
+
+    import bronko_tpu  # noqa: F401
+    import jax
+
+    from bronko_tpu.call.engine import run_call
     from bronko_tpu.config import CallConfig
     from bronko_tpu.index.build import build_index
     from bronko_tpu.index.layout import build_device_index
@@ -96,41 +164,15 @@ def main():
     dev = build_device_index(index)
     build_s = time.time() - t0
 
-    mcfg = dev.map_config(cfg.n_fixed, cfg.use_full_kmer)
     assert dev.hist is not None and dev.fid_grouped, "bench expects a small panel"
 
-    def run_once():
-        t_start = time.time()
-        kmers, counts, cstats = count_sample(fastq, cfg, index.k)
-        t_count = time.time()
-        kj, cj = _prepare_batches(kmers, counts, cfg.batch_size)
-        tj = jnp.zeros((dev.num_genomes, 3), jnp.int32)
-        tj, ii_all, h_all = tally_save_jit(
-            kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
-        tallies = np.asarray(tj).astype(np.int64)
-        best = pick_best_genome(tallies, dev)
-        pileup = run_pileup_saved(kj, cj, (ii_all, h_all), dev, best, mcfg,
-                                  n_kmers=kmers.shape[0])
-        t_map = time.time()
-        records, stats, _ = call_sample_variants(index, dev, cfg, best, pileup)
-        t_call = time.time()
-        return dict(
-            reads=cstats.total_reads,
-            unique=cstats.unique_counted_kmers,
-            n_variants=len(records),
-            count_s=t_count - t_start,
-            map_s=t_map - t_count,
-            call_s=t_call - t_map,
-            total_s=t_call - t_start,
-        )
-
-    warm = run_once()   # compile warmup
-    r = run_once()      # steady state, single sample
+    warm = _single_sample_run(index, dev, cfg, fastq)  # compile warmup
+    r = _single_sample_run(index, dev, cfg, fastq)     # steady state
 
     # production batch mode: host counting of sample i+1 overlaps device
-    # mapping of sample i (run_call's prefetch pipeline)
-    from bronko_tpu.call.engine import run_call
-
+    # mapping of sample i (run_call's prefetch pipeline). NOTE: the same
+    # FASTQ x3 keeps the host page cache warm — the host baseline subprocess
+    # runs the identical discipline, so the ratio stays like-for-like.
     n_batch = 3
     bcfg = CallConfig(genomes=None, db="bench", reads=[fastq] * n_batch,
                       output=os.path.join(CACHE, "out_batch"))
@@ -142,22 +184,184 @@ def main():
     batch_reads = r["reads"] * len(summaries)
     reads_per_sec = batch_reads / batch_s
 
+    # roofline: price every random device access at the measured ceiling
+    map_s = r["tally_s"] + r["pileup_s"]
+    random_accesses = r["probe_lanes"] + 4 * r["scatter_lanes"]
+    sol_s = random_accesses * GATHER_NS_PER_LANE * 1e-9
+    roofline_pct = 100.0 * sol_s / map_s if map_s > 0 else 0.0
+
+    out = dict(
+        platform=platform,
+        build_s=round(build_s, 2),
+        warm_total_s=round(warm["total_s"], 2),
+        reads=r["reads"],
+        unique_kmers=r["unique"],
+        n_variants=r["n_variants"],
+        single=dict(
+            count_s=round(r["count_s"], 3),
+            tally_s=round(r["tally_s"], 3),
+            pileup_s=round(r["pileup_s"], 3),
+            call_s=round(r["call_s"], 3),
+            total_s=round(r["total_s"], 3),
+            reads_per_sec=round(r["reads"] / r["total_s"], 1),
+        ),
+        batch=dict(
+            n=n_batch, best_s=round(batch_s, 2),
+            reads_per_sec=round(reads_per_sec, 1),
+        ),
+        roofline=dict(
+            probe_lanes=r["probe_lanes"],
+            scatter_lanes=r["scatter_lanes"],
+            random_accesses=random_accesses,
+            gather_ns_per_lane=GATHER_NS_PER_LANE,
+            speed_of_light_s=round(sol_s, 4),
+            device_map_s=round(map_s, 4),
+            roofline_pct=round(roofline_pct, 1),
+        ),
+        h2d_bytes=r["h2d_bytes"],
+    )
+    return out
+
+
+def host_baseline_mode() -> None:
+    out = _pipeline_main()
+    print(json.dumps({"host_reads_per_sec": out["batch"]["reads_per_sec"],
+                      "host_single_reads_per_sec": out["single"]["reads_per_sec"],
+                      "platform": out["platform"]}))
+
+
+def scale_proxy_mode() -> None:
+    """CPU-mesh scaling proxy: the product ShardedMapper (tally + pileup)
+    at 1 vs 8 virtual devices on the same counted k-mer workload."""
+    genome_paths, fastq = _ensure_data()
+
+    import bronko_tpu  # noqa: F401
+    import jax
+
+    from bronko_tpu.call.engine import (
+        ShardedMapper, _prepare_batches, count_sample, pick_best_genome,
+    )
+    from bronko_tpu.config import CallConfig
+    from bronko_tpu.index.build import build_index
+    from bronko_tpu.index.layout import build_device_index
+
+    n_dev = len(jax.devices())
+    index = build_index(21, genome_paths)
+    dev = build_device_index(index)
+    cfg = CallConfig(db="bench", reads=[fastq], output=os.path.join(CACHE, "out_scale"))
+    kmers, counts, cstats = count_sample(fastq, cfg, index.k)
+    kj, cj = _prepare_batches(kmers, counts, cfg.batch_size)
+    mcfg = dev.map_config(cfg.n_fixed, cfg.use_full_kmer)
+
+    def timed(mesh: str) -> float:
+        scfg = CallConfig(db="bench", reads=[fastq], mesh=mesh,
+                          output=cfg.output, batch_size=cfg.batch_size)
+        mapper = ShardedMapper(index, scfg)
+        best = None
+        t_best = float("inf")
+        for _ in range(3):  # first run compiles; best-of damps noise
+            t0 = time.time()
+            tallies = mapper.run_tallies(kj, cj)
+            best = pick_best_genome(tallies, dev)
+            pl = mapper.run_pileup(kj, cj, dev, best, mcfg, n_kmers=kmers.shape[0])
+            np.asarray(pl[0, :8])
+            t_best = min(t_best, time.time() - t0)
+        return t_best
+
+    t1 = timed("1x1")
+    tn = timed(f"{n_dev}x1")
+    eff = t1 / (n_dev * tn) if tn > 0 else 0.0
+    print(json.dumps({
+        "devices": n_dev,
+        "kmers": int(kmers.shape[0]),
+        "map_s_1dev": round(t1, 3),
+        f"map_s_{n_dev}dev": round(tn, 3),
+        "speedup": round(t1 / tn, 2) if tn > 0 else None,
+        "efficiency": round(eff, 3),
+    }))
+
+
+def _run_subprocess(args: list[str], env_extra: dict[str, str], timeout: int):
+    env = dict(os.environ, **env_extra)
+    r = subprocess.run([sys.executable, os.path.abspath(__file__), *args],
+                       capture_output=True, text=True, timeout=timeout, env=env)
+    if r.returncode != 0:
+        print(f"# subprocess {args} failed:\n{r.stderr[-2000:]}", file=sys.stderr)
+        return None
+    try:
+        return json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception:  # noqa: BLE001
+        print(f"# subprocess {args} emitted no JSON:\n{r.stdout[-500:]}",
+              file=sys.stderr)
+        return None
+
+
+def main() -> None:
+    # Subprocesses run FIRST and sequentially: only one process may hold the
+    # TPU, and concurrent CPU+TPU python processes can wedge the axon relay
+    # (CLAUDE.md). Both pin JAX to the host CPU.
+    _ensure_data()  # generate fixtures once, before any timing
+    host = _run_subprocess(
+        ["--host-baseline"],
+        {"BRONKO_PLATFORM": "cpu", "JAX_PLATFORMS": "cpu"},
+        timeout=3600,
+    )
+    scale = _run_subprocess(
+        ["--scale-proxy"],
+        {"BRONKO_PLATFORM": "cpu", "JAX_PLATFORMS": "cpu",
+         "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "") +
+                       " --xla_force_host_platform_device_count=8").strip()},
+        timeout=3600,
+    )
+
+    out = _pipeline_main()
+    reads_per_sec = out["batch"]["reads_per_sec"]
+
+    host_rps = host["host_reads_per_sec"] if host else None
+    vs_baseline = round(reads_per_sec / host_rps, 3) if host_rps else None
+
     print(
-        f"# platform={platform} build={build_s:.1f}s "
-        f"warm={warm['total_s']:.1f}s single-sample: count={r['count_s']:.2f}s "
-        f"map={r['map_s']:.2f}s call={r['call_s']:.2f}s "
-        f"({r['reads'] / r['total_s']:.0f} reads/s) | batch x{n_batch}: "
-        f"{batch_s:.2f}s ({reads_per_sec:.0f} reads/s) "
-        f"reads={r['reads']} unique_kmers={r['unique']} variants={r['n_variants']}",
+        f"# platform={out['platform']} build={out['build_s']}s warm={out['warm_total_s']}s "
+        f"single: count={out['single']['count_s']}s tally={out['single']['tally_s']}s "
+        f"pileup={out['single']['pileup_s']}s call={out['single']['call_s']}s "
+        f"({out['single']['reads_per_sec']:.0f} reads/s) | batch x{out['batch']['n']}: "
+        f"{out['batch']['best_s']}s ({reads_per_sec:.0f} reads/s) | "
+        f"host-baseline={host_rps} reads/s | roofline={out['roofline']['roofline_pct']}% | "
+        f"scale-proxy={scale}",
         file=sys.stderr,
     )
     print(json.dumps({
         "metric": "reads_per_sec_per_chip",
-        "value": round(reads_per_sec, 1),
+        "value": reads_per_sec,
         "unit": "reads/s",
-        "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 3),
+        "vs_baseline": vs_baseline,
+        "detail": {
+            "baseline": {
+                "kind": "measured_host_cpu_same_pipeline",
+                "host_reads_per_sec": host_rps,
+                "host_single_reads_per_sec":
+                    host.get("host_single_reads_per_sec") if host else None,
+            },
+            "single_sample": out["single"],
+            "batch": out["batch"],
+            "stage_device_times_s": {
+                "tally": out["single"]["tally_s"],
+                "pileup": out["single"]["pileup_s"],
+            },
+            "roofline": out["roofline"],
+            "h2d_bytes": out["h2d_bytes"],
+            "scaling_proxy_cpu_mesh": scale,
+            "reads": out["reads"],
+            "unique_kmers": out["unique_kmers"],
+            "n_variants": out["n_variants"],
+        },
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--host-baseline" in sys.argv:
+        host_baseline_mode()
+    elif "--scale-proxy" in sys.argv:
+        scale_proxy_mode()
+    else:
+        main()

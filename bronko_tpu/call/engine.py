@@ -106,9 +106,12 @@ def _count_sample_device(path, cfg, k, iterator, native_width):
     return kmers, counts, counter.stats
 
 
-def _prepare_batches(kmers: np.ndarray, counts: np.ndarray, B: int):
+def _prepare_batches(kmers: np.ndarray, counts: np.ndarray, B: int,
+                     upload: bool = True):
     """Pad to a power-of-two number of B-sized batches (few jit variants),
-    upload once; returns (kj, cj) device arrays shaped (nb, B)."""
+    upload once; returns (kj, cj) device arrays shaped (nb, B). With
+    upload=False the host arrays are returned for the caller to place
+    (the mesh path globalizes them with an explicit sharding)."""
     n = kmers.shape[0]
     nb = max(1, -(-n // B))
     nb = 1 << (nb - 1).bit_length()
@@ -116,7 +119,11 @@ def _prepare_batches(kmers: np.ndarray, counts: np.ndarray, B: int):
     cb = np.zeros(nb * B, np.int32)
     kb[:n] = kmers
     cb[:n] = counts
-    return jnp.asarray(kb.reshape(nb, B)), jnp.asarray(cb.reshape(nb, B))
+    kb = kb.reshape(nb, B)
+    cb = cb.reshape(nb, B)
+    if not upload:
+        return kb, cb
+    return jnp.asarray(kb), jnp.asarray(cb)
 
 
 def run_tally_pass(kj, cj, dev: DeviceIndex, mcfg) -> np.ndarray:
@@ -179,11 +186,26 @@ class ShardedMapper:
         self.mesh = make_mesh(self.n_data, self.n_genome)
         self.sharded = split_index(index, self.n_genome)
         self.mcfg = self.sharded.map_config(cfg.n_fixed, cfg.use_full_kmer)
-        self.keys = jnp.asarray(self.sharded.keys)
-        self.offsets = jnp.asarray(self.sharded.offsets)
-        self.postings = jnp.asarray(self.sharded.postings)
+        from jax.sharding import PartitionSpec as P
+
+        from bronko_tpu.parallel.distributed import globalize
+
+        self._P = P
+        self._globalize = globalize
+        # index shards placed with their SPMD layout up front — on a
+        # multi-host run each process materializes only its own shards
+        self.keys = globalize(self.sharded.keys, self.mesh, P("genome", None))
+        self.offsets = globalize(self.sharded.offsets, self.mesh, P("genome", None))
+        self.postings = globalize(self.sharded.postings, self.mesh, P("genome", None))
         self._tally = make_sharded_tally_scan(self.mesh, self.mcfg)
         self._pileup_steps: dict = {}  # keyed by (lane_budget, total_len)
+
+    def place_batches(self, kj: np.ndarray, cj: np.ndarray):
+        """Shard the (nb, B) batch arrays over the 'data' axis (pass-1
+        layout; pass 2 reshards device-side)."""
+        spec = self._P(None, "data")
+        return (self._globalize(kj, self.mesh, spec),
+                self._globalize(cj, self.mesh, spec))
 
     def run_tallies(self, kj, cj) -> np.ndarray:
         from dataclasses import replace
@@ -208,9 +230,11 @@ class ShardedMapper:
         # per-device lane budget: the global pass-2 budget split across the
         # flattened mesh (each device probes 1/(D*G) of the batch)
         budget = max(1024, _pass2_budget(kj, mcfg, n_kmers) // self.n_devices)
-        keys_g = dev.g_keys[best]
-        offsets_g = dev.g_offsets[best]
-        postings_g = dev.g_postings[best]
+        # selected genome's sub-index, replicated on every mesh device
+        P = self._P
+        keys_g = self._globalize(dev.g_keys[best], self.mesh, P(None))
+        offsets_g = self._globalize(dev.g_offsets[best], self.mesh, P(None))
+        postings_g = self._globalize(dev.g_postings[best], self.mesh, P(None))
         while True:
             gcfg = replace(
                 mcfg,
@@ -377,7 +401,10 @@ def _process_one(
         kj = cj = None
         tallies = np.zeros((dev.num_genomes, 3), np.int64)
     else:
-        kj, cj = _prepare_batches(kmers, counts, cfg.batch_size)
+        kj, cj = _prepare_batches(kmers, counts, cfg.batch_size,
+                                  upload=sharded is None)
+        if sharded is not None:
+            kj, cj = sharded.place_batches(kj, cj)
         J = len(mcfg.positions)
         probe_bytes = kj.shape[0] * kj.shape[1] * J * 12
         if (sharded is None and dev.hist is not None and dev.fid_grouped
@@ -433,9 +460,12 @@ def _process_one(
 
     records, stats, seq_pileups = call_sample_variants(index, dev, cfg, best, pileup)
 
-    if cfg.output_pileup:
-        write_pileup(cfg.output, display_path, index.files[best], seq_pileups)
-    write_vcf(cfg.output, display_path, records, index.files[best])
+    from bronko_tpu.parallel.distributed import is_primary
+
+    if is_primary():  # multi-host: every process computes, rank 0 writes
+        if cfg.output_pileup:
+            write_pileup(cfg.output, display_path, index.files[best], seq_pileups)
+        write_vcf(cfg.output, display_path, records, index.files[best])
 
     summary = SampleSummary(
         display_path, best_name, stats, n_perfect, n_variant, n_unmapped
@@ -550,14 +580,18 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
     if profiling:
         jax.profiler.stop_trace()
 
+    from bronko_tpu.parallel.distributed import is_primary
+
     log.info("Printing overview")
-    write_overview(cfg.output, summaries)
+    if is_primary():
+        write_overview(cfg.output, summaries)
     if not failures:
         log.info("All samples processed successfully")
 
     if cfg.output_alignment:
         log.info("Building alignment(s)")
-        write_alignments(cfg.output, summaries, variant_info, index.files, log)
+        if is_primary():
+            write_alignments(cfg.output, summaries, variant_info, index.files, log)
 
     log.info("bronko complete!")
     return summaries

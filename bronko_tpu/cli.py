@@ -102,6 +102,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Device mesh 'DxG' (data-parallel x genome shards), e.g. 4x2")
     c.add_argument("--profile-dir", dest="profile_dir", default=None,
                    help="Write a jax.profiler trace of the run to this directory")
+    c.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address host:port "
+                        "(multi-host; omit on TPU pods for auto-detection)")
+    c.add_argument("--num-processes", dest="num_processes", type=int, default=None,
+                   help="Total process count for multi-host execution")
+    c.add_argument("--process-id", dest="process_id", type=int, default=None,
+                   help="This process's rank for multi-host execution")
     _add_common(c)
     return ap
 
@@ -160,6 +167,10 @@ def main(argv: list[str] | None = None) -> int:
         )
         run_build(cfg)
     else:
+        if args.coordinator or args.num_processes or args.process_id is not None:
+            from bronko_tpu.parallel.distributed import init_distributed
+
+            init_distributed(args.coordinator, args.num_processes, args.process_id)
         fields = {f: getattr(args, f) for f in CallConfig.__dataclass_fields__
                   if hasattr(args, f)}
         cfg = CallConfig(**fields)

@@ -21,7 +21,7 @@ import logging
 
 import numpy as np
 
-from bronko_tpu.index.model import BronkoIndex, FileMeta, SeqMeta, pack_meta
+from bronko_tpu.index.model import SEQ_MASK, BronkoIndex, FileMeta, SeqMeta, pack_meta
 from bronko_tpu.io.fasta import read_fasta
 from bronko_tpu.io.naming import file_stem
 from bronko_tpu.ops.buckets import assign_buckets
@@ -53,13 +53,13 @@ def build_index(k: int, genome_paths: list[str]) -> BronkoIndex:
         raise ValueError("at most 65535 genome files are supported (u16 file ids)")
     for file_id, path in enumerate(genome_paths):
         records = read_fasta(path)
-        if len(records) > 256:
-            # seq ids are 8-bit in the posting layout (same capacity as the
-            # reference's u8 seq_id, build.rs:55); fail loudly instead of
+        if len(records) > SEQ_MASK + 1:
+            # seq ids are 10-bit in the posting layout (wider than the
+            # reference's u8, build.rs:55); fail loudly instead of
             # corrupting genome attribution
             raise ValueError(
-                f"{path} has {len(records)} sequences; at most 256 per file "
-                f"are supported"
+                f"{path} has {len(records)} sequences; at most {SEQ_MASK + 1} "
+                f"per file are supported"
             )
         sequences: list[SeqMeta] = []
         for seq_id, rec in enumerate(records):

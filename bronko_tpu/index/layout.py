@@ -47,7 +47,7 @@ class DeviceIndex:
     # per-bucket per-genome posting-count histogram, packed 8 bits/genome
     # (G <= 8 and max bucket <= 255 only; None otherwise)
     hist: jnp.ndarray | None = None
-    # large-panel variant: (U, ceil(G/8)) int64 words (8 < G <= 256)
+    # large-panel variant: (U, ceil(G/8)) int64 words (8 < G, <=2GB table)
     hist_words: jnp.ndarray | None = None
     # per-genome sub-index, padded to common shapes across genomes:
     # g_keys (G, Ug) sentinel-padded, g_offsets (G, Ug+1),
@@ -134,10 +134,14 @@ def build_device_index(index: BronkoIndex) -> DeviceIndex:
             hist = jnp.asarray(packed.astype(np.int32))
         else:
             hist = jnp.asarray(packed)
-    elif 8 < G <= 256 and E <= 255 and meta.size:
-        # large-panel histogram: 8 genomes per int64 word — the tally pass
-        # gathers ceil(G/8) words per bucket query instead of expanding
-        # every posting lane (which scales with the panel size)
+    elif 8 < G and E <= 255 and meta.size and (
+            U * (-(-G // 8)) * 8 <= (2 << 30)):
+        # large-panel histogram, any G: 8 genomes per int64 word — the
+        # tally pass gathers ceil(G/8) words per bucket query instead of
+        # expanding every posting lane (which scales with the panel size;
+        # for a 300-strain panel of near-identical genomes the flat path
+        # would pay ~300 lanes per hit bucket). Guarded to <=2 GB of HBM;
+        # beyond that the flat path with overflow retry takes over.
         h = np.zeros((U, G), np.int64)
         np.add.at(h, (bucket_of_post, file_id), 1)
         n_words = -(-G // 8)

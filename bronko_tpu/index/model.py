@@ -7,10 +7,14 @@ of a hashmap of posting vectors, the index is a set of dense, sorted arrays
   keys      (U,)   uint64  sorted unique bucket ids
   offsets   (U+1,) int64   CSR row pointers into the posting arrays
   post_loc  (P,)   uint32  k-mer location within its sequence
-  post_meta (P,)   uint32  packed: idx(5b) | seq_id(8b) | file_id(16b) | canonical(1b)
+  post_meta (P,)   uint32  packed: idx(5b) | seq_id(10b) | file_id(16b) | canonical(1b)
 
 Posting order within a bucket preserves the reference's append order
 (files, then sequences, then windows, then wildcard idx).
+
+seq_id is 10-bit (1024 sequences per file) — wider than the reference's u8
+(build.rs:55) so draft assemblies with >256 contigs index cleanly; the
+uint32 word had exactly the spare bits.
 """
 
 from __future__ import annotations
@@ -21,7 +25,7 @@ import numpy as np
 
 # post_meta bit layout
 IDX_BITS = 5
-SEQ_BITS = 8
+SEQ_BITS = 10
 FILE_BITS = 16
 SEQ_SHIFT = IDX_BITS
 FILE_SHIFT = IDX_BITS + SEQ_BITS

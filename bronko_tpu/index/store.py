@@ -16,7 +16,8 @@ import numpy as np
 
 from bronko_tpu.index.model import BronkoIndex, FileMeta, SeqMeta
 
-MAGIC = "bronko-tpu-bkdb-v1"
+MAGIC = "bronko-tpu-bkdb-v2"   # v2: 10-bit seq ids in post_meta
+MAGIC_V1 = "bronko-tpu-bkdb-v1"  # 8-bit seq ids; converted on load
 
 
 def save_index(path: str, index: BronkoIndex) -> None:
@@ -58,7 +59,7 @@ def load_index(path: str, expect_k: int | None = None) -> BronkoIndex:
     with open(path, "rb") as fh:
         data = np.load(io.BytesIO(fh.read()), allow_pickle=False)
     meta = json.loads(bytes(data["meta"]).decode())
-    if meta.get("magic") != MAGIC:
+    if meta.get("magic") not in (MAGIC, MAGIC_V1):
         raise ValueError(f"{path} is not a bronko-tpu .bkdb file")
     k = int(meta["k"])
     if expect_k is not None and k != expect_k:
@@ -75,11 +76,22 @@ def load_index(path: str, expect_k: int | None = None) -> BronkoIndex:
             sequences.append(SeqMeta(name, length, seqs[pos:pos + length]))
             pos += length
         files.append(FileMeta(f["name"], sequences))
+    post_meta = data["post_meta"]
+    if meta.get("magic") == MAGIC_V1:
+        # v1 packed seq ids in 8 bits (idx 5 | seq 8 | file 16 | canon 1);
+        # repack into the v2 layout (seq 10 bits)
+        from bronko_tpu.index.model import pack_meta
+
+        idx = post_meta & 0x1F
+        seq_id = (post_meta >> 5) & 0xFF
+        file_id = (post_meta >> 13) & 0xFFFF
+        canon = (post_meta >> 29) & 1
+        post_meta = pack_meta(idx, seq_id, file_id, canon)
     return BronkoIndex(
         k=k,
         keys=data["keys"],
         offsets=data["offsets"],
         post_loc=data["post_loc"],
-        post_meta=data["post_meta"],
+        post_meta=post_meta,
         files=files,
     )

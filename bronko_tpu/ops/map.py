@@ -257,7 +257,7 @@ def tally_hist(kmers, counts, keys, offsets, hist, *, cfg: MapConfig):
 
 
 def tally_hist_multi(kmers, counts, keys, offsets, hist_words, *, cfg: MapConfig):
-    """Large-panel tally (8 < G <= 256): per-bucket genome counts packed 8
+    """Large-panel tally (any G > 8): per-bucket genome counts packed 8
     per int64 word. ceil(G/8) gathers per query — independent of how many
     postings the panel piles into each bucket."""
     G = cfg.num_genomes
@@ -297,7 +297,7 @@ def tally_all_jit(kmers, counts, keys, offsets, postings, hist, tallies,
     """Pass 1: per-genome tallies over (nb, B) batches, single dispatch.
 
     mode: 'hist' (packed single-word histogram, G<=8), 'words' (multi-word
-    histogram, 8<G<=256), or 'flat' (posting-lane expansion, any G)."""
+    histogram, G>8), or 'flat' (posting-lane expansion, any G)."""
     nb_pos = len(cfg.positions)
 
     def body(carry, batch):
