@@ -256,7 +256,7 @@ def scale_proxy_mode() -> None:
     def timed(mesh: str) -> float:
         scfg = CallConfig(db="bench", reads=[fastq], mesh=mesh,
                           output=cfg.output, batch_size=cfg.batch_size)
-        mapper = ShardedMapper(index, scfg)
+        mapper = ShardedMapper(index, scfg, dev)
         best = None
         t_best = float("inf")
         for _ in range(3):  # first run compiles; best-of damps noise

@@ -168,7 +168,8 @@ class ShardedMapper:
         (call.rs:1420-1431). Bit-identical to the single-device pass.
     """
 
-    def __init__(self, index: BronkoIndex, cfg: CallConfig):
+    def __init__(self, index: BronkoIndex, cfg: CallConfig,
+                 dev: DeviceIndex | None = None):
         import jax as _jax
 
         from bronko_tpu.parallel.mesh import make_mesh
@@ -197,7 +198,21 @@ class ShardedMapper:
         self.keys = globalize(self.sharded.keys, self.mesh, P("genome", None))
         self.offsets = globalize(self.sharded.offsets, self.mesh, P("genome", None))
         self.postings = globalize(self.sharded.postings, self.mesh, P("genome", None))
-        self._tally = make_sharded_tally_scan(self.mesh, self.mcfg)
+        # data-parallel-only meshes reuse the per-bucket genome histogram
+        # (one gather per query vs the posting lane expansion); with a
+        # genome axis the histogram indexes the wrong (sharded) bucket rows
+        # so the flat path applies
+        if self.n_genome == 1 and dev is not None and dev.hist is not None:
+            self.tally_mode = "hist"
+            self.hist = globalize(dev.hist, self.mesh, P(None))
+        elif self.n_genome == 1 and dev is not None and dev.hist_words is not None:
+            self.tally_mode = "words"
+            self.hist = globalize(dev.hist_words, self.mesh, P(None))
+        else:
+            self.tally_mode = "flat"
+            self.hist = globalize(jnp.zeros(1, jnp.int64), self.mesh, P(None))
+        self._tally = make_sharded_tally_scan(self.mesh, self.mcfg,
+                                              self.tally_mode)
         self._pileup_steps: dict = {}  # keyed by (lane_budget, total_len)
 
     def place_batches(self, kj: np.ndarray, cj: np.ndarray):
@@ -213,13 +228,15 @@ class ShardedMapper:
         from bronko_tpu.parallel.pipeline import make_sharded_tally_scan
 
         while True:
-            tl, ov = self._tally(kj, cj, self.keys, self.offsets, self.postings)
+            tl, ov = self._tally(kj, cj, self.keys, self.offsets, self.postings,
+                                 self.hist)
             if not int(np.asarray(ov)[0]):
                 return np.asarray(tl).astype(np.int64)
             log.info("sharded tally lane budget exceeded (factor %d); retrying",
                      self.mcfg.lane_factor)
             self.mcfg = replace(self.mcfg, lane_factor=self.mcfg.lane_factor * 2)
-            self._tally = make_sharded_tally_scan(self.mesh, self.mcfg)
+            self._tally = make_sharded_tally_scan(self.mesh, self.mcfg,
+                                                  self.tally_mode)
 
     def run_pileup(self, kj, cj, dev: DeviceIndex, best: int, mcfg,
                    n_kmers: int | None = None):
@@ -512,7 +529,7 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
     sharded = None
     if cfg.mesh:
         log.info("Sharding the mapping pipeline over a %s device mesh", cfg.mesh)
-        sharded = ShardedMapper(index, cfg)
+        sharded = ShardedMapper(index, cfg, dev)
         if cfg.batch_size % sharded.n_devices:
             raise SystemExit(
                 "batch size must be divisible by the mesh device count "

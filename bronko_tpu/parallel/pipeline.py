@@ -228,7 +228,7 @@ def make_sharded_tally_step(mesh: Mesh, cfg: MapConfig):
     ))
 
 
-def make_sharded_tally_scan(mesh: Mesh, cfg: MapConfig):
+def make_sharded_tally_scan(mesh: Mesh, cfg: MapConfig, mode: str = "flat"):
     """Pass 1 over ALL (nb, B) batches in ONE SPMD dispatch.
 
     Replaces the per-batch host loop (VERDICT r1 weak #2): the lax.scan
@@ -237,17 +237,32 @@ def make_sharded_tally_scan(mesh: Mesh, cfg: MapConfig):
     hit counts is required for exact classification, but the tally psum
     over 'data' happens once at the end.
 
-    Returns step(kj (nb,B), cj, keys, offsets, postings) ->
-    (tallies (G,3) replicated, overflow (1,))."""
-    from bronko_tpu.ops.map import tally_flat
+    mode: 'flat' works on any genome-sharded index; 'hist'/'words' use the
+    per-bucket genome histogram (one gather per query instead of a posting
+    lane expansion) and are valid only when the genome axis is 1 (the
+    histogram indexes the UNSHARDED bucket table).
 
+    Returns step(kj (nb,B), cj, keys, offsets, postings, hist) ->
+    (tallies (G,3) replicated, overflow (1,))."""
+    from bronko_tpu.ops.map import tally_flat, tally_hist, tally_hist_multi
+
+    if mode != "flat" and mesh.shape["genome"] != 1:
+        raise ValueError("histogram tally modes need a genome axis of 1")
     nb_pos = len(cfg.positions)
 
-    def local_fn(kj, cj, keys, offsets, postings):
+    def local_fn(kj, cj, keys, offsets, postings, hist):
         def body(carry, batch):
             tl, ov = carry
             km, ct = batch
-            hits, ov2 = tally_flat(km, ct, keys[0], offsets[0], postings[0], cfg=cfg)
+            if mode == "hist":
+                hits = tally_hist(km, ct, keys[0], offsets[0], hist, cfg=cfg)
+                ov2 = jnp.int32(0)
+            elif mode == "words":
+                hits = tally_hist_multi(km, ct, keys[0], offsets[0], hist, cfg=cfg)
+                ov2 = jnp.int32(0)
+            else:
+                hits, ov2 = tally_flat(km, ct, keys[0], offsets[0], postings[0],
+                                       cfg=cfg)
             hits = jax.lax.psum(hits, "genome")
             tl = tl + classify_tallies(hits, ct > 0, nb_pos)
             return (tl, ov | ov2), None
@@ -264,6 +279,7 @@ def make_sharded_tally_scan(mesh: Mesh, cfg: MapConfig):
         in_specs=(
             P(None, "data"), P(None, "data"),
             P("genome", None), P("genome", None), P("genome", None),
+            P(None),
         ),
         out_specs=(P(None, None), P(None)),
         check_vma=False,
