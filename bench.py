@@ -111,14 +111,15 @@ def _single_sample_run(index, dev, cfg, fastq):
     kj, cj = _prepare_batches(kmers, counts, cfg.batch_size)
     h2d_bytes = kj.size * 8 + cj.size * 4
     tj = jnp.zeros((dev.num_genomes, 3), jnp.int32)
-    tj, ii_all, h_all = tally_save_jit(
+    tj, lane_tot, ii_all, h_all = tally_save_jit(
         kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
     tallies = np.asarray(tj).astype(np.int64)  # forces pass-1 completion
     t_tally = time.time()
 
     best = pick_best_genome(tallies, dev)
     pileup = run_pileup_saved(kj, cj, (ii_all, h_all), dev, best, mcfg,
-                              n_kmers=kmers.shape[0])
+                              n_kmers=kmers.shape[0],
+                              exact_lanes=int(np.asarray(lane_tot)[best]))
     # force pass-2 completion with a small transfer (full pileup moves later)
     np.asarray(pileup[0, :8])
     t_pileup = time.time()
@@ -350,7 +351,9 @@ def main() -> None:
             },
             "roofline": out["roofline"],
             "h2d_bytes": out["h2d_bytes"],
-            "scaling_proxy_cpu_mesh": scale,
+            "scaling_proxy_cpu_mesh": scale,  # CAVEAT: virtual CPU devices share the
+            # host cores, so this lower-bounds true ICI scaling
+
             "reads": out["reads"],
             "unique_kmers": out["unique_kmers"],
             "n_variants": out["n_variants"],

@@ -271,19 +271,35 @@ class ShardedMapper:
             budget *= 2
 
 
-def _pass2_budget(kj, mcfg, n_kmers):
+def _lane_class(n: int) -> int:
+    """Smallest lane budget of the form 2^m or 1.5*2^m covering n. Two jit
+    variants per octave bound recompiles while capping overshoot at 33%
+    (a plain pow2 ceiling wastes up to 2x expansion work)."""
+    n = max(int(n), 1 << 16)
+    p = 1 << (n - 1).bit_length()
+    three_q = (p >> 1) + (p >> 2)  # 1.5 * 2^(m-1)
+    return three_q if three_q >= n else p
+
+
+def _pass2_budget(kj, mcfg, n_kmers, exact_lanes=None):
+    """Pass-2 lane budget: exact when the tally pass reported the selected
+    genome's true per-batch posting load, else 1.5x the k-mer count guess."""
+    if exact_lanes is not None:
+        return _lane_class(exact_lanes)
     B = kj.shape[1]
     J = len(mcfg.positions)
     n_real = n_kmers if n_kmers is not None else kj.shape[0] * B
     want = max(n_real * J * 3 // 2, 1 << 20)
-    budget = 1 << (want - 1).bit_length()
+    budget = _lane_class(want)
     return min(budget, B * J * max(2, mcfg.lane_factor))
 
 
 def run_pileup_saved(kj, cj, saved, dev: DeviceIndex, best: int, mcfg,
-                     n_kmers: int | None = None):
+                     n_kmers: int | None = None, exact_lanes: int | None = None):
     """Pass 2 via the probe-reuse path (no search): genome-local posting
-    ranges derive from pass 1's saved probe + the bucket histograms."""
+    ranges derive from pass 1's saved probe + the bucket histograms.
+    exact_lanes (from tally_save_jit's lane_totals) sizes the expansion to
+    the true posting load."""
     from dataclasses import replace
 
     ii_all, h_all = saved
@@ -291,7 +307,7 @@ def run_pileup_saved(kj, cj, saved, dev: DeviceIndex, best: int, mcfg,
         mcfg,
         total_len=dev.g_total_len,
         max_bucket=dev.g_max_bucket,
-        lane_budget=_pass2_budget(kj, mcfg, n_kmers),
+        lane_budget=_pass2_budget(kj, mcfg, n_kmers, exact_lanes),
     )
     best_j = jnp.int32(best)
     fbase = jnp.int32(int(dev.file_bases[best]))
@@ -429,9 +445,10 @@ def _process_one(
             # probe-reuse fast path: pass 1 saves its probe so pass 2 needs
             # no search of its own
             tj = jnp.zeros((dev.num_genomes, 3), jnp.int32)
-            tj, ii_all, h_all = tally_save_jit(
+            tj, lane_tot, ii_all, h_all = tally_save_jit(
                 kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
             tallies = np.asarray(tj).astype(np.int64)
+            lane_totals = np.asarray(lane_tot)
             saved = (ii_all, h_all)
         elif sharded is not None:
             tallies = sharded.run_tallies(kj, cj)
@@ -468,7 +485,8 @@ def _process_one(
                                     n_kmers=kmers.shape[0])
     elif kj is not None and saved is not None:
         pileup = run_pileup_saved(kj, cj, saved, dev, best, mcfg,
-                                  n_kmers=kmers.shape[0])
+                                  n_kmers=kmers.shape[0],
+                                  exact_lanes=int(lane_totals[best]))
     elif kj is not None and dev.g_keys is not None:
         pileup = run_pileup_pass(kj, cj, dev, best, mcfg, n_kmers=kmers.shape[0])
     else:

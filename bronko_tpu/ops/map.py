@@ -323,22 +323,32 @@ def tally_all_jit(kmers, counts, keys, offsets, postings, hist, tallies,
 def tally_save_jit(kmers, counts, keys, offsets, hist, tallies, cfg: MapConfig):
     """Pass 1 with probe reuse: histogram tallies PLUS the per-batch probe
     artifacts (bucket row index, packed histogram) that let pass 2 skip its
-    own search entirely."""
-    nb_pos = len(cfg.positions)
+    own search entirely.
 
-    def body(tl, batch):
+    Also returns lane_totals (G,) int64 — the EXACT per-batch posting-lane
+    load each genome would incur in pass 2, maxed over batches (so it
+    bounds every batch of the scan). The engine sizes the pass-2 lane
+    budget from lane_totals[best]: the expansion then processes ~the true
+    load instead of a 1.5x-then-pow2 guess (measured 4.19M budget for a
+    1.02M true load on the bench sample) and can never overflow-retry."""
+    nb_pos = len(cfg.positions)
+    G = cfg.num_genomes
+
+    def body(carry, batch):
+        tl, lt = carry
         km, ct = batch
         ii_c, hit, _, _ = _probe(km, ct, keys, offsets, cfg=cfg)
         h = jnp.where(hit, hist[ii_c], 0)
-        G = cfg.num_genomes
         shifts8 = jnp.arange(G, dtype=hist.dtype) * hist.dtype.type(8)
         per_g = (h[..., None] >> shifts8) & hist.dtype.type(0xFF)
         hits = per_g.sum(axis=1).astype(jnp.int32)
         tl = tl + classify_tallies(hits, ct > 0, nb_pos)
-        return tl, (ii_c, h)  # h keeps the hist dtype (int64 when G > 4)
+        lt = jnp.maximum(lt, hits.sum(axis=0, dtype=jnp.int64))
+        return (tl, lt), (ii_c, h)  # h keeps the hist dtype (int64 when G > 4)
 
-    tallies, (ii_all, h_all) = jax.lax.scan(body, tallies, (kmers, counts))
-    return tallies, ii_all, h_all
+    (tallies, lane_totals), (ii_all, h_all) = jax.lax.scan(
+        body, (tallies, jnp.zeros(G, jnp.int64)), (kmers, counts))
+    return tallies, lane_totals, ii_all, h_all
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(6,))

@@ -255,10 +255,11 @@ def test_pileup_saved_equals_subindex_path(tmp_path):
     kj, cj = _prepare_batches(kmers, counts, 128)
 
     tj = jnp.zeros((dev.num_genomes, 3), jnp.int32)
-    tj, ii_all, h_all = tally_save_jit(kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
+    tj, lane_tot, ii_all, h_all = tally_save_jit(kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
     for best in range(4):
         p_saved = np.asarray(run_pileup_saved(kj, cj, (ii_all, h_all), dev, best,
-                                              mcfg, n_kmers=len(kmers)))
+                                              mcfg, n_kmers=len(kmers),
+                                              exact_lanes=int(np.asarray(lane_tot)[best])))
         p_sub = np.asarray(run_pileup_pass(kj, cj, dev, best, mcfg,
                                            n_kmers=len(kmers)))
         L = int(dev.genome_lens[best])
