@@ -107,14 +107,21 @@ def _count_sample_device(path, cfg, k, iterator, native_width):
 
 
 def _prepare_batches(kmers: np.ndarray, counts: np.ndarray, B: int,
-                     upload: bool = True):
-    """Pad to a power-of-two number of B-sized batches (few jit variants),
-    upload once; returns (kj, cj) device arrays shaped (nb, B). With
-    upload=False the host arrays are returned for the caller to place
-    (the mesh path globalizes them with an explicit sharding)."""
+                     upload: bool = True, multiple: int = 1):
+    """Batch the k-mer stream with shape-stable padding; returns (kj, cj)
+    shaped (nb, B_eff). Samples that fit one batch get a TIGHT width from
+    the {2^m, 1.5*2^m} class ladder (measured: a 155k-kmer sample padded to
+    the fixed 262k batch wastes 41% of every probe/gather/sort lane);
+    larger samples use a power-of-two count of full-size batches. Class
+    widths are multiples of `multiple` (the mesh device count). With
+    upload=False the host arrays are returned for the caller to place."""
     n = kmers.shape[0]
-    nb = max(1, -(-n // B))
-    nb = 1 << (nb - 1).bit_length()
+    if n <= B:
+        nb = 1
+        B = min(B, _lane_class(n, floor=1 << 14, multiple=multiple))
+    else:
+        nb = -(-n // B)
+        nb = 1 << (nb - 1).bit_length()
     kb = np.zeros(nb * B, np.uint64)
     cb = np.zeros(nb * B, np.int32)
     kb[:n] = kmers
@@ -271,14 +278,17 @@ class ShardedMapper:
             budget *= 2
 
 
-def _lane_class(n: int) -> int:
-    """Smallest lane budget of the form 2^m or 1.5*2^m covering n. Two jit
-    variants per octave bound recompiles while capping overshoot at 33%
-    (a plain pow2 ceiling wastes up to 2x expansion work)."""
-    n = max(int(n), 1 << 16)
+def _lane_class(n: int, floor: int = 1 << 16, multiple: int = 1) -> int:
+    """Smallest size of the form 2^m or 1.5*2^m covering n (and divisible
+    by `multiple`). Two jit variants per octave bound recompiles while
+    capping overshoot at 33% (a plain pow2 ceiling wastes up to 2x work)."""
+    n = max(int(n), floor, multiple)
     p = 1 << (n - 1).bit_length()
     three_q = (p >> 1) + (p >> 2)  # 1.5 * 2^(m-1)
-    return three_q if three_q >= n else p
+    for cand in (three_q, p, p + (p >> 1), p << 1):
+        if cand >= n and cand % multiple == 0:
+            return cand
+    return -(-n // multiple) * multiple
 
 
 def _pass2_budget(kj, mcfg, n_kmers, exact_lanes=None):
@@ -434,8 +444,9 @@ def _process_one(
         kj = cj = None
         tallies = np.zeros((dev.num_genomes, 3), np.int64)
     else:
-        kj, cj = _prepare_batches(kmers, counts, cfg.batch_size,
-                                  upload=sharded is None)
+        kj, cj = _prepare_batches(
+            kmers, counts, cfg.batch_size, upload=sharded is None,
+            multiple=sharded.n_devices if sharded is not None else 1)
         if sharded is not None:
             kj, cj = sharded.place_batches(kj, cj)
         J = len(mcfg.positions)

@@ -242,30 +242,60 @@ int bronko_counter_count_fastq(void* h, const char* path) {
 }
 
 // Merge per-thread tables; apply ci floor and cs cap. Returns kept count.
+// Parallelized by key-range partition: partition p owns keys whose top
+// bits equal p, so per-partition sort+merge is independent and the
+// concatenation in partition order IS the globally sorted output (the
+// device path and oracle tests depend on sorted extraction order).
 int64_t bronko_counter_finalize(void* h, uint32_t ci, uint32_t cs) {
   auto* c = static_cast<Counter*>(h);
   if (!c->finalized) {
-    std::vector<std::pair<uint64_t, uint32_t>> items;
-    size_t cap = 0;
-    for (auto& t : c->tables) cap += t.used;
-    items.reserve(cap);
-    for (auto& t : c->tables)
-      for (size_t i = 0; i < t.keys.size(); ++i)
-        if (t.keys[i] != Table::kEmpty) items.emplace_back(t.keys[i], t.vals[i]);
-    std::sort(items.begin(), items.end());
+    const int P = 8;  // power of two; partition id = top 3 USED bits of
+    // the 2k-bit k-mer (keys < 2^(2k), so a fixed 64-bit shift would put
+    // everything in partition 0)
+    const int shift = 2 * c->k - 3;
+    struct Part {
+      std::vector<uint64_t> keys;
+      std::vector<uint32_t> vals;
+      int64_t unique = 0;
+    };
+    std::vector<Part> parts(P);
+    std::vector<std::thread> workers;
+    for (int p = 0; p < P; ++p) {
+      workers.emplace_back([&, p]() {
+        std::vector<std::pair<uint64_t, uint32_t>> items;
+        for (auto& t : c->tables)
+          for (size_t i = 0; i < t.keys.size(); ++i) {
+            uint64_t key = t.keys[i];
+            if (key != Table::kEmpty && (int)(key >> shift) == p)
+              items.emplace_back(key, t.vals[i]);
+          }
+        std::sort(items.begin(), items.end());
+        Part& out = parts[p];
+        size_t i = 0;
+        while (i < items.size()) {
+          uint64_t key = items[i].first;
+          uint64_t sum = 0;
+          while (i < items.size() && items[i].first == key) { sum += items[i].second; ++i; }
+          ++out.unique;
+          if (sum >= ci) {
+            out.keys.push_back(key);
+            out.vals.push_back((uint32_t)std::min<uint64_t>(sum, cs));
+          }
+        }
+      });
+    }
+    for (auto& w : workers) w.join();
     c->out_keys.clear();
     c->out_vals.clear();
     c->n_unique = 0;
-    size_t i = 0;
-    while (i < items.size()) {
-      uint64_t key = items[i].first;
-      uint64_t sum = 0;
-      while (i < items.size() && items[i].first == key) { sum += items[i].second; ++i; }
-      ++c->n_unique;
-      if (sum >= ci) {
-        c->out_keys.push_back(key);
-        c->out_vals.push_back((uint32_t)std::min<uint64_t>(sum, cs));
-      }
+    size_t total = 0;
+    for (auto& p : parts) total += p.keys.size();
+    c->out_keys.reserve(total);
+    c->out_vals.reserve(total);
+    for (auto& p : parts) {
+      c->n_unique += p.unique;
+      c->out_keys.insert(c->out_keys.end(), p.keys.begin(), p.keys.end());
+      c->out_vals.insert(c->out_vals.end(), p.vals.begin(), p.vals.end());
     }
     c->finalized = true;
   }
