@@ -170,6 +170,16 @@ def _pipeline_main():
     warm = _single_sample_run(index, dev, cfg, fastq)  # compile warmup
     r = _single_sample_run(index, dev, cfg, fastq)     # steady state
 
+    # streamed single-sample latency: partitioned count->tally overlap
+    scfg = CallConfig(db="bench", reads=[fastq],
+                      output=os.path.join(CACHE, "out_stream"))
+    run_call(scfg, index, dev)  # warm
+    stream_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        run_call(scfg, index, dev)
+        stream_s = min(stream_s, time.time() - t0)
+
     # production batch mode: host counting of sample i+1 overlaps device
     # mapping of sample i (run_call's prefetch pipeline). NOTE: the same
     # FASTQ x3 keeps the host page cache warm — the host baseline subprocess
@@ -205,6 +215,8 @@ def _pipeline_main():
             call_s=round(r["call_s"], 3),
             total_s=round(r["total_s"], 3),
             reads_per_sec=round(r["reads"] / r["total_s"], 1),
+            streamed_total_s=round(stream_s, 3),
+            streamed_reads_per_sec=round(r["reads"] / stream_s, 1),
         ),
         batch=dict(
             n=n_batch, best_s=round(batch_s, 2),

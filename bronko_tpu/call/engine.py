@@ -519,6 +519,123 @@ def _process_one(
     return summary, (display_path, records)
 
 
+def _process_one_stream(
+    display_path: str,
+    paths: list[str],
+    index: BronkoIndex,
+    dev: DeviceIndex,
+    cfg: CallConfig,
+) -> tuple[SampleSummary, tuple[str, list[VCFRecord]]]:
+    """Single-sample streaming path (VERDICT r1 item 10): the C++ counter
+    finalizes one key-range partition at a time; each partition's tally
+    dispatch is asynchronous, so the device tallies partition p while the
+    host sorts/uploads partition p+1 — count and map overlap instead of
+    running back-to-back. Tallies and the pileup chain through donated
+    device buffers; the only host syncs are the final tallies read and the
+    per-partition lane totals (scalars). Byte-identical to the non-streaming
+    path: partitions cover disjoint sorted key ranges, and scatter-add/max
+    are order-independent."""
+    from dataclasses import replace
+
+    from bronko_tpu.consts import KMER_COUNT_CAP
+    from bronko_tpu.io.native import native_count_fastq_stream
+
+    t0 = time.time()
+    mcfg = dev.map_config(cfg.n_fixed, cfg.use_full_kmer)
+    tj = jnp.zeros((dev.num_genomes, 3), jnp.int32)
+    parts = []  # (kj, cj, ii_all, h_all, lane_tot) — device arrays
+    stats_sum = CountStats()
+    n_kmers = 0
+    for kmers, counts, stats in native_count_fastq_stream(
+            paths, index.k, cfg.min_kmers, KMER_COUNT_CAP,
+            threads=max(1, cfg.threads)):
+        if stats is not None:
+            stats_sum = CountStats(**{
+                f: getattr(stats_sum, f) + stats[f]
+                for f in ("total_reads", "total_kmers", "unique_kmers",
+                          "unique_counted_kmers")})
+        if kmers.shape[0] == 0:
+            continue
+        n_kmers += kmers.shape[0]
+        kj, cj = _prepare_batches(kmers, counts, cfg.batch_size)
+        tj, lt, ii_all, h_all = tally_save_jit(
+            kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
+        parts.append((kj, cj, ii_all, h_all, lt))
+
+    cstats = stats_sum
+    tallies = np.asarray(tj).astype(np.int64)
+    log.info("%d reads counted from %s", cstats.total_reads, display_path)
+    log.info(
+        "%d unique kmers above %d count, %d total unique kmers, "
+        "%d total kmers (~%d basepairs); tallied %d kmers in %.2fs (streamed)",
+        cstats.unique_counted_kmers, cfg.min_kmers, cstats.unique_kmers,
+        cstats.total_kmers, cstats.total_kmers * index.k, n_kmers,
+        time.time() - t0,
+    )
+    best = pick_best_genome(tallies, dev)
+    if best is None:
+        log.error("Unable to pick a best genome")
+        raise RuntimeError("Unable to pick a best genome")
+    n_perfect, n_variant, n_unique = (int(x) for x in tallies[best])
+    best_name = index.files[best].name
+    log.info("Selected a representative genome: %s", best_name)
+    n_unmapped = cstats.unique_counted_kmers - n_perfect - n_variant
+    log.info(
+        "Mapped %d/%d kmers perfectly (%d unique among refs), %d/%d had a variant, %d unmapped",
+        n_perfect, cstats.unique_counted_kmers, n_unique,
+        n_variant, cstats.unique_counted_kmers, n_unmapped,
+    )
+    if cstats.unique_counted_kmers and (n_variant + n_perfect) / cstats.unique_counted_kmers < 0.2:
+        log.warning(
+            "Percent of kmers found is very low for this reference, suggesting lack of a "
+            "representative reference, a bad sequencing run, contamination in sample, or some other issue"
+        )
+
+    t1 = time.time()
+    best_j = jnp.int32(best)
+    fbase = jnp.int32(int(dev.file_bases[best]))
+    pileup = jnp.zeros((4, dev.g_total_len + 1, 4), jnp.int32)
+    for kj, cj, ii_all, h_all, lt in parts:
+        gcfg = replace(
+            mcfg,
+            total_len=dev.g_total_len,
+            max_bucket=dev.g_max_bucket,
+            lane_budget=_lane_class(int(np.asarray(lt)[best])),
+        )
+        pileup, _ov = pileup_from_saved_jit(
+            kj, cj, ii_all, h_all, dev.offsets, dev.postings,
+            pileup, best_j, fbase, gcfg)
+    log.info("Scattered pileup in %.2fs", time.time() - t1)
+
+    records, stats, seq_pileups = call_sample_variants(index, dev, cfg, best, pileup)
+    from bronko_tpu.parallel.distributed import is_primary
+
+    if is_primary():
+        if cfg.output_pileup:
+            write_pileup(cfg.output, display_path, index.files[best], seq_pileups)
+        write_vcf(cfg.output, display_path, records, index.files[best])
+    summary = SampleSummary(
+        display_path, best_name, stats, n_perfect, n_variant, n_unmapped
+    )
+    return summary, (display_path, records)
+
+
+def _can_stream(cfg: CallConfig, dev: DeviceIndex, sharded) -> bool:
+    """Streaming pays when there is no cross-sample prefetch to hide the
+    host count anyway (single job), the probe-reuse fast path applies, and
+    no full k-mer dump is requested."""
+    if sharded is not None or cfg.keep_kmer_counts or cfg.counter == "device":
+        return False
+    if dev.hist is None or not dev.fid_grouped:
+        return False
+    try:
+        from bronko_tpu.io.native import get_lib
+
+        return get_lib() is not None
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def _count_job(paths: list[str], cfg: CallConfig, k: int):
     """Count one sample (single-end: [r]; paired: [r1, r2] concatenated —
     semantics identical to the reference's two map_kmers passes into shared
@@ -573,14 +690,36 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
     # (call.rs:301-307) generalized across the sample stream. Submission is
     # bounded (<= 2 ahead) so counted k-mer arrays don't pile up in memory
     # on large cohorts.
+    mcfg0 = dev.map_config(cfg.n_fixed, cfg.use_full_kmer)
+    if (len(jobs) == 1 and len(mcfg0.positions) > 0
+            and _can_stream(cfg, dev, sharded)):
+        # single-sample latency path: stream partitioned counting into
+        # asynchronous tally dispatches (count and map overlap)
+        job = jobs[0]
+        label = job[0] if len(job) == 1 else f"{job[0]}, {job[1]}"
+        log.info("Processing %s (streamed)", label)
+        try:
+            summary, vinfo = _process_one_stream(job[0], job, index, dev, cfg)
+            summaries.append(summary)
+            variant_info.append(vinfo)
+            log_memory_usage("Called variants successfully")
+        except SystemExit:
+            raise
+        except Exception:  # noqa: BLE001
+            log.exception("Sample %s failed", label)
+            failures.append(job[0])
+        jobs_iter = []
+    else:
+        jobs_iter = jobs
+
     with ThreadPoolExecutor(max_workers=1) as pool:
         futures: list = []
 
         def _ensure_submitted(upto: int) -> None:
-            while len(futures) < min(upto, len(jobs)):
-                futures.append(pool.submit(_count_job, jobs[len(futures)], cfg, index.k))
+            while len(futures) < min(upto, len(jobs_iter)):
+                futures.append(pool.submit(_count_job, jobs_iter[len(futures)], cfg, index.k))
 
-        for ji, job in enumerate(jobs):
+        for ji, job in enumerate(jobs_iter):
             _ensure_submitted(ji + 2)
             fut = futures[ji]
             display = job[0]

@@ -86,6 +86,9 @@ def get_lib():
         lib.bronko_counter_finalize.restype = ctypes.c_int64
         lib.bronko_counter_finalize.argtypes = [
             ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32]
+        lib.bronko_counter_finalize_part.restype = ctypes.c_int64
+        lib.bronko_counter_finalize_part.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_uint32, ctypes.c_uint32]
         lib.bronko_counter_extract.restype = None
         lib.bronko_counter_extract.argtypes = [
             ctypes.c_void_p,
@@ -126,6 +129,49 @@ def native_count_fastq(path: str, k: int, min_count: int, count_cap: int,
         return kmers, counts.astype(np.int64), stats
     finally:
         lib.bronko_counter_destroy(h)
+
+
+NATIVE_COUNT_PARTS = 8  # key-range partitions of the streaming finalize
+
+
+def native_count_fastq_stream(paths: list[str], k: int, min_count: int,
+                              count_cap: int, threads: int = 4):
+    """Streaming counter: count the file(s), then yield the sorted unique
+    (kmers, counts) of each key-range partition as it finalizes — the
+    caller overlaps device dispatch on partition p with the host sort of
+    partition p+1. Yields (kmers, counts, stats_or_None); stats arrive
+    with the LAST partition. Each path gets its own counter (paired mates
+    are separate k-mer streams, matching the reference's two KMC runs)."""
+    lib = get_lib()
+    assert lib is not None
+    for path in paths:
+        h = lib.bronko_counter_create(k, threads)
+        try:
+            rc = lib.bronko_counter_count_fastq(h, path.encode())
+            if rc == -1:
+                raise OSError(f"cannot open {path}")
+            if rc != 0:
+                raise ValueError(f"malformed FASTQ: {path}")
+            unique_counted = 0
+            for part in range(NATIVE_COUNT_PARTS):
+                n = int(lib.bronko_counter_finalize_part(
+                    h, part, min_count, count_cap))
+                kmers = np.empty(n, np.uint64)
+                counts = np.empty(n, np.uint32)
+                if n:
+                    lib.bronko_counter_extract(h, kmers, counts)
+                unique_counted += n
+                stats = None
+                if part == NATIVE_COUNT_PARTS - 1:
+                    stats = dict(
+                        total_reads=int(lib.bronko_counter_total_reads(h)),
+                        total_kmers=int(lib.bronko_counter_total_kmers(h)),
+                        unique_kmers=int(lib.bronko_counter_unique(h)),
+                        unique_counted_kmers=unique_counted,
+                    )
+                yield kmers, counts.astype(np.int64), stats
+        finally:
+            lib.bronko_counter_destroy(h)
 
 
 def native_read_fastq_chunks(path: str, chunk_reads: int, max_len: int = 512):

@@ -302,6 +302,38 @@ int64_t bronko_counter_finalize(void* h, uint32_t ci, uint32_t cs) {
   return (int64_t)c->out_keys.size();
 }
 
+// Streaming variant: finalize ONE key-range partition (same partition
+// function as the parallel full finalize: top 3 used bits). The caller
+// extracts partition p and dispatches device work on it while partition
+// p+1 sorts on the host — count->map overlap for single-sample latency.
+// Partitions concatenated in order 0..7 equal the full finalize output.
+int64_t bronko_counter_finalize_part(void* h, int part, uint32_t ci, uint32_t cs) {
+  auto* c = static_cast<Counter*>(h);
+  const int shift = 2 * c->k - 3;
+  std::vector<std::pair<uint64_t, uint32_t>> items;
+  for (auto& t : c->tables)
+    for (size_t i = 0; i < t.keys.size(); ++i) {
+      uint64_t key = t.keys[i];
+      if (key != Table::kEmpty && (int)(key >> shift) == part)
+        items.emplace_back(key, t.vals[i]);
+    }
+  std::sort(items.begin(), items.end());
+  c->out_keys.clear();
+  c->out_vals.clear();
+  size_t i = 0;
+  while (i < items.size()) {
+    uint64_t key = items[i].first;
+    uint64_t sum = 0;
+    while (i < items.size() && items[i].first == key) { sum += items[i].second; ++i; }
+    ++c->n_unique;  // accumulates across partitions (reset-free single use)
+    if (sum >= ci) {
+      c->out_keys.push_back(key);
+      c->out_vals.push_back((uint32_t)std::min<uint64_t>(sum, cs));
+    }
+  }
+  return (int64_t)c->out_keys.size();
+}
+
 int64_t bronko_counter_total_reads(void* h) { return static_cast<Counter*>(h)->total_reads; }
 
 int64_t bronko_counter_total_kmers(void* h) {

@@ -173,6 +173,50 @@ def test_large_panel_flat_tally(tmp_path):
     assert summaries[0].stats.num_major <= 1
 
 
+def test_streaming_single_sample_byte_identical(synth):
+    """The streamed single-sample path (partitioned count->tally overlap)
+    must be byte-identical to the batch path with the same host counter."""
+    from bronko_tpu.io.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native counter unavailable")
+    tmp, ref, fq, genome, alts = synth
+    index = build_index(21, [ref])
+    dev = build_device_index(index)
+    out_s = str(tmp / "out_stream")
+    out_b = str(tmp / "out_nostream")
+    # single job + host counter -> streams
+    run_call(small_cfg(genomes=[ref], reads=[fq], output=out_s,
+                       output_pileup=True), index, dev)
+    # keep_kmer_counts disables streaming -> the classic prefetch path
+    run_call(small_cfg(genomes=[ref], reads=[fq], output=out_b,
+                       output_pileup=True, keep_kmer_counts=True), index, dev)
+    for fname in ("samp.vcf", "bronko_overview.tsv", "samp.tsv"):
+        assert open(os.path.join(out_s, fname)).read() == \
+            open(os.path.join(out_b, fname)).read(), fname
+
+
+def test_streaming_paired_byte_identical(synth, tmp_path):
+    """Paired-end streamed run == paired non-streamed run (per-mate
+    separate counting semantics preserved)."""
+    from bronko_tpu.io.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native counter unavailable")
+    tmp, ref, fq, genome, alts = synth
+    index = build_index(21, [ref])
+    dev = build_device_index(index)
+    out_s = str(tmp_path / "ps")
+    out_b = str(tmp_path / "pb")
+    run_call(small_cfg(genomes=[ref], first_pairs=[fq], second_pairs=[fq],
+                       output=out_s), index, dev)
+    run_call(small_cfg(genomes=[ref], first_pairs=[fq], second_pairs=[fq],
+                       output=out_b, keep_kmer_counts=True), index, dev)
+    for fname in ("samp.vcf", "bronko_overview.tsv"):
+        assert open(os.path.join(out_s, fname)).read() == \
+            open(os.path.join(out_b, fname)).read(), fname
+
+
 def test_mesh_sharded_engine(synth):
     """--mesh DxG: the FULLY sharded engine (tally pass 1 + pileup pass 2
     over the mesh) must produce byte-identical outputs to the single-device
