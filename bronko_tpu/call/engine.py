@@ -37,7 +37,8 @@ from bronko_tpu.io.fastq import read_fastq_chunks
 from bronko_tpu.ops.count import CountStats, KmerCounter
 from bronko_tpu.ops.map import (
     PLANE_CNT_FWD, PLANE_CNT_REV, PLANE_DEPTH_FWD, PLANE_DEPTH_REV,
-    pileup_all_jit, pileup_from_saved_jit, tally_all_jit, tally_save_jit,
+    pileup_all_jit, pileup_from_saved_jit, pileup_from_saved_words_jit,
+    tally_all_jit, tally_save_jit, tally_save_words_jit,
 )
 
 log = logging.getLogger("bronko")
@@ -251,6 +252,7 @@ class ShardedMapper:
 
         from bronko_tpu.parallel.pipeline import make_sharded_pileup_scan
 
+        dev.ensure_subindex()
         # per-device lane budget: the global pass-2 budget split across the
         # flattened mesh (each device probes 1/(D*G) of the batch)
         budget = max(1024, _pass2_budget(kj, mcfg, n_kmers) // self.n_devices)
@@ -321,9 +323,12 @@ def run_pileup_saved(kj, cj, saved, dev: DeviceIndex, best: int, mcfg,
     )
     best_j = jnp.int32(best)
     fbase = jnp.int32(int(dev.file_bases[best]))
+    # 4-D saved histogram (nb, B, J, W) = multi-word large-panel probe
+    pileup_fn = (pileup_from_saved_words_jit if h_all.ndim == 4
+                 else pileup_from_saved_jit)
     while True:
         pileup = jnp.zeros((4, gcfg.total_len + 1, 4), jnp.int32)
-        pileup, overflow = pileup_from_saved_jit(
+        pileup, overflow = pileup_fn(
             kj, cj, ii_all, h_all, dev.offsets, dev.postings,
             pileup, best_j, fbase, gcfg)
         if not int(overflow):
@@ -336,6 +341,8 @@ def run_pileup_pass(kj, cj, dev: DeviceIndex, best: int, mcfg, n_kmers: int | No
     """Pass 2: scatter the SELECTED genome's pileup only — pileup memory and
     scatter lanes scale with one genome, not the whole panel."""
     from dataclasses import replace
+
+    dev.ensure_subindex()
 
     # a single genome's sub-index has ~1 posting per hit bucket, so the
     # expected lane load is ~1 per real query; budget from the true k-mer
@@ -450,14 +457,21 @@ def _process_one(
         if sharded is not None:
             kj, cj = sharded.place_batches(kj, cj)
         J = len(mcfg.positions)
-        probe_bytes = kj.shape[0] * kj.shape[1] * J * 12
-        if (sharded is None and dev.hist is not None and dev.fid_grouped
+        has_hist = dev.hist is not None or dev.hist_words is not None
+        W = dev.hist_words.shape[1] if dev.hist_words is not None else 0
+        per_q = 12 if dev.hist is not None else 4 + 8 * W
+        probe_bytes = kj.shape[0] * kj.shape[1] * J * per_q
+        if (sharded is None and has_hist and dev.fid_grouped
                 and probe_bytes < 512 << 20):
             # probe-reuse fast path: pass 1 saves its probe so pass 2 needs
-            # no search of its own
+            # no search of its own (single-word for G<=8, multi-word beyond)
             tj = jnp.zeros((dev.num_genomes, 3), jnp.int32)
-            tj, lane_tot, ii_all, h_all = tally_save_jit(
-                kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
+            if dev.hist is not None:
+                tj, lane_tot, ii_all, h_all = tally_save_jit(
+                    kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
+            else:
+                tj, lane_tot, ii_all, h_all = tally_save_words_jit(
+                    kj, cj, dev.keys, dev.offsets, dev.hist_words, tj, mcfg)
             tallies = np.asarray(tj).astype(np.int64)
             lane_totals = np.asarray(lane_tot)
             saved = (ii_all, h_all)
@@ -489,7 +503,9 @@ def _process_one(
         )
 
     t1 = time.time()
-    if kj is not None and sharded is not None and dev.g_keys is not None:
+    if kj is not None and saved is None and sharded is None:
+        dev.ensure_subindex()  # fallback path needs the per-genome arrays
+    if kj is not None and sharded is not None:
         # pass 2 sharded over the whole mesh (replicated sub-index,
         # batch-parallel scatter, pmax/psum merge)
         pileup = sharded.run_pileup(kj, cj, dev, best, mcfg,
@@ -558,8 +574,12 @@ def _process_one_stream(
             continue
         n_kmers += kmers.shape[0]
         kj, cj = _prepare_batches(kmers, counts, cfg.batch_size)
-        tj, lt, ii_all, h_all = tally_save_jit(
-            kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
+        if dev.hist is not None:
+            tj, lt, ii_all, h_all = tally_save_jit(
+                kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
+        else:
+            tj, lt, ii_all, h_all = tally_save_words_jit(
+                kj, cj, dev.keys, dev.offsets, dev.hist_words, tj, mcfg)
         parts.append((kj, cj, ii_all, h_all, lt))
 
     cstats = stats_sum
@@ -594,6 +614,8 @@ def _process_one_stream(
     t1 = time.time()
     best_j = jnp.int32(best)
     fbase = jnp.int32(int(dev.file_bases[best]))
+    pileup_fn = (pileup_from_saved_jit if dev.hist is not None
+                 else pileup_from_saved_words_jit)
     pileup = jnp.zeros((4, dev.g_total_len + 1, 4), jnp.int32)
     for kj, cj, ii_all, h_all, lt in parts:
         gcfg = replace(
@@ -602,7 +624,7 @@ def _process_one_stream(
             max_bucket=dev.g_max_bucket,
             lane_budget=_lane_class(int(np.asarray(lt)[best])),
         )
-        pileup, _ov = pileup_from_saved_jit(
+        pileup, _ov = pileup_fn(
             kj, cj, ii_all, h_all, dev.offsets, dev.postings,
             pileup, best_j, fbase, gcfg)
     log.info("Scattered pileup in %.2fs", time.time() - t1)
@@ -626,7 +648,7 @@ def _can_stream(cfg: CallConfig, dev: DeviceIndex, sharded) -> bool:
     no full k-mer dump is requested."""
     if sharded is not None or cfg.keep_kmer_counts or cfg.counter == "device":
         return False
-    if dev.hist is None or not dev.fid_grouped:
+    if (dev.hist is None and dev.hist_words is None) or not dev.fid_grouped:
         return False
     try:
         from bronko_tpu.io.native import get_lib

@@ -60,6 +60,17 @@ class DeviceIndex:
     # probe-reuse pileup pass prerequisites: postings fid-grouped per bucket
     fid_grouped: bool = False
     file_bases: np.ndarray | None = None  # (G,) global offset of each file
+    # deferred sub-index constructor: the per-genome sub-index duplicates
+    # the whole posting space (measured ~half of a 709MB 32-strain device
+    # image), and the probe-reuse pass-2 never touches it — so when a
+    # histogram exists it is built only if a fallback path asks
+    _subindex_builder: object = None
+
+    def ensure_subindex(self) -> None:
+        """Materialize g_keys/g_offsets/g_postings if they were deferred."""
+        if self.g_keys is None and self._subindex_builder is not None:
+            self._subindex_builder(self)
+            self._subindex_builder = None
 
     def map_config(self, n_fixed: int, use_full_kmer: bool) -> MapConfig:
         positions = tuple(filtered_bucket_positions(self.k, n_fixed, use_full_kmer))
@@ -151,10 +162,16 @@ def build_device_index(index: BronkoIndex) -> DeviceIndex:
         hist_words = jnp.asarray(hw)
 
     # per-genome sub-index for the pileup pass (only the selected genome's
-    # postings are ever scattered)
+    # postings are ever scattered). When a histogram exists the probe-reuse
+    # pass 2 never reads these arrays, so construction + upload (which
+    # duplicates the whole posting space) is DEFERRED until a fallback
+    # path asks via dev.ensure_subindex().
     g_keys = g_offsets = g_postings = None
-    g_max_bucket, g_total_len = 1, 0
-    if meta.size:
+    g_max_bucket = max(1, E)
+    g_total_len = int(genome_lens.max()) if G else 0
+    subindex_builder = None
+
+    def _build_subindex(dev: "DeviceIndex") -> None:
         nposts = np.diff(index.offsets)
         post_keys = np.repeat(index.keys, nposts)
         # genome-local scatter position: offset of (fid, sid) within its file
@@ -167,6 +184,7 @@ def build_device_index(index: BronkoIndex) -> DeviceIndex:
                 cur += s.length
         lpos = local_tab[file_id, seq_id] + index.post_loc.astype(np.int64) + idx
         lpost = (lpos << 22) | (idx | (canon << 5) | (file_id << 6))
+        g_max_b = 1
         per_g = []
         for fid_ in range(G):
             sel = file_id == fid_
@@ -189,13 +207,19 @@ def build_device_index(index: BronkoIndex) -> DeviceIndex:
             go[fid_, u + 1:] = soff[-1] if u else 0
             gp[fid_, :spost.shape[0]] = spost
             if u:
-                g_max_bucket = max(g_max_bucket, int(np.max(np.diff(soff[:u + 1]))))
-        g_keys = jnp.asarray(gk)
-        g_offsets = jnp.asarray(go)
-        g_postings = jnp.asarray(gp)
-        g_total_len = int(genome_lens.max())
+                g_max_b = max(g_max_b, int(np.max(np.diff(soff[:u + 1]))))
+        dev.g_keys = jnp.asarray(gk)
+        dev.g_offsets = jnp.asarray(go)
+        dev.g_postings = jnp.asarray(gp)
+        dev.g_max_bucket = g_max_b
 
-    return DeviceIndex(
+    if meta.size:
+        if (hist is not None or hist_words is not None) and fid_grouped:
+            subindex_builder = _build_subindex
+        else:
+            pass  # built eagerly below
+
+    dev_index = DeviceIndex(
         k=index.k,
         keys=jnp.asarray(index.keys),
         offsets=jnp.asarray(index.offsets.astype(np.int32)),
@@ -215,4 +239,8 @@ def build_device_index(index: BronkoIndex) -> DeviceIndex:
         fid_grouped=fid_grouped,
         file_bases=np.concatenate([[0], np.cumsum(genome_lens)[:-1]]).astype(np.int64)
         if G else np.zeros(0, np.int64),
+        _subindex_builder=subindex_builder,
     )
+    if meta.size and subindex_builder is None:
+        _build_subindex(dev_index)
+    return dev_index

@@ -351,6 +351,92 @@ def tally_save_jit(kmers, counts, keys, offsets, hist, tallies, cfg: MapConfig):
     return tallies, lane_totals, ii_all, h_all
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(5,))
+def tally_save_words_jit(kmers, counts, keys, offsets, hist_words, tallies,
+                         cfg: MapConfig):
+    """Large-panel (G > 8) pass 1 with probe reuse: multi-word histogram
+    tallies plus the saved probe artifacts (bucket rows + histogram words)
+    so pass 2 needs no search and no per-genome sub-index — for a
+    32-strain panel this removes the duplicated sub-index upload entirely
+    (measured 709 MB -> ~half at ~1 MB/s through the serving tunnel).
+
+    Returns (tallies, lane_totals (G,) int64 per-batch max, ii_all, hw_all)
+    where hw_all is (nb, B, J, W) int64."""
+    nb_pos = len(cfg.positions)
+    G = cfg.num_genomes
+    W = hist_words.shape[1]
+
+    def body(carry, batch):
+        tl, lt = carry
+        km, ct = batch
+        ii_c, hit, _, _ = _probe(km, ct, keys, offsets, cfg=cfg)
+        hw = jnp.where(hit[..., None], hist_words[ii_c], 0)   # (B,J,W)
+        cols = []
+        for g in range(G):
+            byte = (hw[..., g // 8] >> (8 * (g % 8))) & 0xFF
+            cols.append(byte.sum(axis=1))
+        hits = jnp.stack(cols, axis=1).astype(jnp.int32)      # (B,G)
+        tl = tl + classify_tallies(hits, ct > 0, nb_pos)
+        lt = jnp.maximum(lt, hits.sum(axis=0, dtype=jnp.int64))
+        return (tl, lt), (ii_c, hw)
+
+    (tallies, lane_totals), (ii_all, hw_all) = jax.lax.scan(
+        body, (tallies, jnp.zeros(G, jnp.int64)), (kmers, counts))
+    return tallies, lane_totals, ii_all, hw_all
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(6,))
+def pileup_from_saved_words_jit(kmers, counts, ii_all, hw_all, offsets,
+                                postings, pileup, best, file_base,
+                                cfg: MapConfig):
+    """Pass 2 from the multi-word saved probe (G > 8): the selected
+    genome's posting range within each bucket derives from its histogram
+    byte (length) plus the sum of all lower genomes' bytes (prefix), split
+    into whole-words-below + partial-word parts so no (B,J,G) intermediate
+    materializes. `best` is a traced scalar — one executable serves every
+    selected genome."""
+    k = cfg.k
+    J = len(cfg.positions)
+    W = hw_all.shape[-1]
+    word_ids = jnp.arange(W, dtype=jnp.int32)
+
+    def body(carry, batch):
+        pl, ov = carry
+        km, ct, ii_c, hw = batch
+        B = km.shape[0]
+        N2 = B * J
+        LB = cfg.lane_budget if cfg.lane_budget else B * J * cfg.lane_factor
+
+        canon, is_rc = canonical(km, k, jnp)
+        pc = _fold_table(canon, is_rc, ct, k)
+
+        wb = best // 8
+        sb = best % 8
+        sel_w = (word_ids == wb)                               # (W,)
+        h_wb = jnp.sum(jnp.where(sel_w, hw, 0), axis=-1)       # (B,J) int64
+        # per-word byte sums + partial-word prefix, 8-slot unrolled
+        slot_bytes = jnp.stack([(h_wb >> (8 * s)) & 0xFF for s in range(8)], -1)
+        lens = jnp.sum(jnp.where(jnp.arange(8) == sb, slot_bytes, 0), axis=-1)
+        part_prefix = jnp.sum(jnp.where(jnp.arange(8) < sb, slot_bytes, 0), axis=-1)
+        bs = None
+        for s in range(8):
+            b_s = (hw >> (8 * s)) & 0xFF                       # (B,J,W)
+            bs = b_s if bs is None else bs + b_s
+        full_prefix = jnp.sum(jnp.where(word_ids < wb, bs, 0), axis=-1)
+        prefix = (full_prefix + part_prefix).astype(jnp.int32)
+        lensf = lens.astype(jnp.int32).reshape(N2)
+        startf = (offsets[ii_c] + prefix).reshape(N2).astype(jnp.int32)
+
+        own_c, pidx_s, lane_valid, total = _expand_lanes(startf, lensf, LB)
+        pl, _, _ = _scatter_lanes(pl, pc, postings[pidx_s], own_c, lane_valid,
+                                  J=J, k=k, pos_base=file_base)
+        return (pl, ov | (total > LB).astype(jnp.int32)), None
+
+    (pileup, overflow), _ = jax.lax.scan(
+        body, (pileup, jnp.int32(0)), (kmers, counts, ii_all, hw_all))
+    return pileup, overflow
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(6,))
 def pileup_from_saved_jit(kmers, counts, ii_all, h_all, offsets, postings,
                           pileup, best, file_base, cfg: MapConfig):

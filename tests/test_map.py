@@ -216,6 +216,7 @@ def test_pileup_pass_matches_oracle(tmp_path):
     kj = jnp.asarray(kb.reshape(nb, B)); cj = jnp.asarray(cb.reshape(nb, B))
 
     from dataclasses import replace
+    dev.ensure_subindex()  # direct g_* access; engine defers this build
     for best in range(3):
         gcfg = replace(mcfg, total_len=dev.g_total_len,
                        max_bucket=dev.g_max_bucket, lane_factor=mcfg.lane_factor)
@@ -306,3 +307,61 @@ def test_tally_words_large_panel(tmp_path):
     _, o_tallies = map_kmers_oracle(kmer_counts, build_oracle_index(k, files))
     for fid in range(len(files)):
         assert np.asarray(t_words)[fid].tolist() == o_tallies.get(fid, [0, 0, 0])
+
+
+def test_words_probe_reuse_large_panel(tmp_path):
+    """G=13 (> 8): the multi-word saved-probe pass (tally_save_words_jit +
+    pileup_from_saved_words_jit) must reproduce the sub-index pileup and
+    the flat tallies exactly, for every selectable genome."""
+    from dataclasses import replace
+
+    from bronko_tpu.call.engine import _lane_class, run_pileup_pass
+    from bronko_tpu.ops.map import tally_all_jit, tally_save_words_jit, \
+        pileup_from_saved_words_jit
+
+    rng = np.random.default_rng(61)
+    k = 21
+    base = random_genome(rng, 260)
+    files = []
+    for i in range(13):
+        g = bytearray(base)
+        for p in rng.integers(0, len(base), 10):
+            g[p] = b"ACGT"[rng.integers(4)]
+        files.append((f"g{i:02d}", [(f"s{i}", bytes(g))]))
+    index = make_index(tmp_path, files, k)
+    dev = build_device_index(index)
+    assert dev.hist is None and dev.hist_words is not None and dev.fid_grouped
+    assert dev.g_keys is None  # deferred: probe-reuse path needs no sub-index
+    mcfg = dev.map_config(2, False)
+
+    kmer_counts = sample_kmers(rng, files, k, n_exact=140, n_mut=60, n_junk=10)
+    kmers = np.asarray([kc[0] for kc in kmer_counts], np.uint64)
+    counts = np.asarray([kc[1] for kc in kmer_counts], np.int32)
+    B = 128
+    nb = -(-len(kmers) // B)
+    kb = np.zeros(nb * B, np.uint64); kb[:len(kmers)] = kmers
+    cb = np.zeros(nb * B, np.int32); cb[:len(counts)] = counts
+    kj = jnp.asarray(kb.reshape(nb, B)); cj = jnp.asarray(cb.reshape(nb, B))
+
+    t0 = jnp.zeros((13, 3), jnp.int32)
+    tj, lane_tot, ii_all, hw_all = tally_save_words_jit(
+        kj, cj, dev.keys, dev.offsets, dev.hist_words, t0, mcfg)
+    t1 = jnp.zeros((13, 3), jnp.int32)
+    t_words, _ = tally_all_jit(kj, cj, dev.keys, dev.offsets, dev.postings,
+                               dev.hist_words, t1, mcfg, "words")
+    assert np.array_equal(np.asarray(tj), np.asarray(t_words))
+
+    lane_tot = np.asarray(lane_tot)
+    for best in range(13):
+        gcfg = replace(mcfg, total_len=dev.g_total_len,
+                       max_bucket=dev.g_max_bucket,
+                       lane_budget=_lane_class(int(lane_tot[best]), floor=1 << 10))
+        pileup = jnp.zeros((4, gcfg.total_len + 1, 4), jnp.int32)
+        pileup, ov = pileup_from_saved_words_jit(
+            kj, cj, ii_all, hw_all, dev.offsets, dev.postings, pileup,
+            jnp.int32(best), jnp.int32(int(dev.file_bases[best])), gcfg)
+        assert int(ov) == 0, best
+        p_sub = np.asarray(run_pileup_pass(kj, cj, dev, best, mcfg,
+                                           n_kmers=len(kmers)))
+        L = int(dev.genome_lens[best])
+        assert np.array_equal(np.asarray(pileup)[:, :L], p_sub[:, :L]), best
