@@ -102,6 +102,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Device mesh 'DxG' (data-parallel x genome shards), e.g. 4x2")
     c.add_argument("--profile-dir", dest="profile_dir", default=None,
                    help="Write a jax.profiler trace of the run to this directory")
+    c.add_argument("--device-build", dest="device_build", default="auto",
+                   choices=("auto", "on", "off"),
+                   help="Build the device index on-chip from genome codes "
+                        "(auto: on for TPU backends; off under --mesh)")
     c.add_argument("--coordinator", default=None,
                    help="jax.distributed coordinator address host:port "
                         "(multi-host; omit on TPU pods for auto-detection)")
@@ -136,17 +140,38 @@ def run_call_cmd(cfg: CallConfig) -> None:
 
     log = logging.getLogger("bronko")
     cfg.validate()
+
+    def _on_device() -> bool:
+        if cfg.mesh is not None or cfg.device_build == "off":
+            return False  # the mesh splitter consumes the host arrays
+        if cfg.device_build == "on":
+            return True
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+
     try:
         if cfg.genomes:
             log.info("Creating bronko index from provided reference genomes")
-            index = build_index(cfg.kmer, cfg.genomes)
+            if _on_device():
+                from bronko_tpu.index.device_build import build_device_index_on_device
+
+                index, dev = build_device_index_on_device(cfg.kmer, cfg.genomes)
+            else:
+                index = build_index(cfg.kmer, cfg.genomes)
+                dev = build_device_index(index)
         else:
             log.info("Reading in provided bronko index")
             index = load_index(cfg.db, expect_k=cfg.kmer)
+            if _on_device():
+                from bronko_tpu.index.device_build import device_build
+
+                dev = device_build(index)
+            else:
+                dev = build_device_index(index)
     except (OSError, ValueError) as e:
         log.error("%s | Unable to build/read index, exiting", e)
         raise SystemExit(1) from None
-    dev = build_device_index(index)
     summaries = run_call(cfg, index, dev)
     n_jobs = len(cfg.reads) + len(cfg.first_pairs)
     if len(summaries) < n_jobs:

@@ -100,6 +100,10 @@ class CallConfig:
     #  parallel x 2-way genome index sharding for the WHOLE mapping
     #  pipeline (tally pass 1 + pileup pass 2); None = 1 device
     profile_dir: str | None = None  # write a jax.profiler trace here
+    device_build: str = "auto"  # 'auto'|'on'|'off': derive the device index
+    #  on-chip from ~1MB of genome codes instead of uploading the host-built
+    #  arrays (auto = on for TPU backends; forced off under --mesh, whose
+    #  splitter needs the host arrays)
 
     def validate(self) -> None:  # mirrors call.rs:30-136
         _check_k(self.kmer)
@@ -177,6 +181,8 @@ class CallConfig:
             _fatal("Number of paired end sequences do not match, exiting.")
         if self.counter not in ("auto", "host", "device"):
             _fatal(f"Unknown counter '{self.counter}' (must be auto|host|device)")
+        if self.device_build not in ("auto", "on", "off"):
+            _fatal(f"Unknown device-build mode '{self.device_build}' (must be auto|on|off)")
         if self.mesh is not None:
             parts = self.mesh.split("x")
             if len(parts) != 2 or not all(p.isdigit() and int(p) > 0 for p in parts):

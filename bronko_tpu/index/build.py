@@ -45,13 +45,12 @@ def _index_one_sequence(bits: np.ndarray, k: int):
     return keys, loc, idx, canon_flags
 
 
-def build_index(k: int, genome_paths: list[str]) -> BronkoIndex:
-    all_keys, all_loc, all_meta = [], [], []
-    files: list[FileMeta] = []
-
+def parse_genomes(k: int, genome_paths: list[str]) -> list[FileMeta]:
+    """FASTA paths -> FileMeta list with capacity validation."""
     if len(genome_paths) > 65535:
         raise ValueError("at most 65535 genome files are supported (u16 file ids)")
-    for file_id, path in enumerate(genome_paths):
+    files: list[FileMeta] = []
+    for path in genome_paths:
         records = read_fasta(path)
         if len(records) > SEQ_MASK + 1:
             # seq ids are 10-bit in the posting layout (wider than the
@@ -61,10 +60,22 @@ def build_index(k: int, genome_paths: list[str]) -> BronkoIndex:
                 f"{path} has {len(records)} sequences; at most {SEQ_MASK + 1} "
                 f"per file are supported"
             )
-        sequences: list[SeqMeta] = []
-        for seq_id, rec in enumerate(records):
-            sequences.append(SeqMeta(rec.name, len(rec.seq), rec.seq))
-            if len(rec.seq) < k:
+        files.append(FileMeta(
+            file_stem(path),
+            [SeqMeta(rec.name, len(rec.seq), rec.seq) for rec in records]))
+        log.info("indexed %s: %d sequence(s)", path, len(records))
+    return files
+
+
+def build_index(k: int, genome_paths: list[str]) -> BronkoIndex:
+    return build_index_from_files(k, parse_genomes(k, genome_paths))
+
+
+def build_index_from_files(k: int, files: list[FileMeta]) -> BronkoIndex:
+    all_keys, all_loc, all_meta = [], [], []
+    for file_id, fmeta in enumerate(files):
+        for seq_id, rec in enumerate(fmeta.sequences):
+            if rec.length < k:
                 log.warning("sequence %s shorter than k=%d, skipped", rec.name, k)
                 continue
             bits = seq_bytes_to_bits(rec.seq)
@@ -72,8 +83,6 @@ def build_index(k: int, genome_paths: list[str]) -> BronkoIndex:
             all_keys.append(keys)
             all_loc.append(loc)
             all_meta.append(pack_meta(idx, np.uint32(seq_id), np.uint32(file_id), canon_flags))
-        files.append(FileMeta(file_stem(path), sequences))
-        log.info("indexed %s: %d sequence(s)", path, len(records))
 
     if all_keys:
         keys = np.concatenate(all_keys)
