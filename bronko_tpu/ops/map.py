@@ -99,21 +99,11 @@ def probe_scatter(
     k = cfg.k
     B = kmers.shape[0]
     J = len(cfg.positions)
-    U = keys.shape[0]
     N2 = B * J
     LB = cfg.lane_budget if cfg.lane_budget else B * J * cfg.lane_factor
 
-    valid_kmer = counts > 0
-    canon, is_rc = canonical(kmers, k, jnp)
+    ii_c, hit, canon, is_rc = _probe(kmers, counts, keys, offsets, cfg=cfg)
     pc = _fold_table(canon, is_rc, counts, k)
-    buckets = assign_buckets(canon, k, jnp)  # (B,k)
-    q = buckets[:, np.asarray(cfg.positions)]  # (B,J)
-
-    # method='sort' rides the TPU's fast sort instead of a 20-deep
-    # gather-dependency chain (14x faster at viral index scale)
-    ii = jnp.searchsorted(keys, q, method="sort")        # (B,J)
-    ii_c = jnp.minimum(ii, U - 1).astype(jnp.int32)
-    hit = (keys[ii_c] == q) & valid_kmer[:, None]        # (B,J)
 
     startf = offsets[ii_c].reshape(N2)
     endf = offsets[ii_c + 1].reshape(N2)
@@ -147,8 +137,18 @@ def _fold_table(canon, is_rc, counts, k: int):
 
 def _expand_lanes(startf, lensf, LB: int):
     """Flat-join run-length expansion: per-(kmer,bucket) posting ranges ->
-    a lane array of LB posting indices, via one sorted-merge searchsorted.
-    Returns (owner index, posting index, lane validity, true lane total)."""
+    a lane array of LB posting indices.
+    Returns (owner index, posting index, lane validity, true lane total).
+
+    Owner derivation rides ONE sorted-index scatter + a cummax instead of
+    searchsorted(method='sort') (which internally argsorts N2+LB lanes and
+    rank-scatters them — measured 230 ms vs 195 ms for the whole pileup
+    step at bench shapes): every row scatter-maxes its row index at its
+    run-start lane (exclusive cumsum — non-decreasing, so the scatter is
+    sorted), and a cummax propagates the owner across its run. Zero-length
+    rows share their start lane with the NEXT nonzero row, which is always
+    the largest row index in the equal-start group, so the max keeps
+    exactly the owning row."""
     N2 = startf.shape[0]
     cum = jnp.cumsum(lensf, dtype=jnp.int32)             # inclusive
     # exact int64 total: if the true posting load ever exceeded 2^31 the
@@ -157,10 +157,13 @@ def _expand_lanes(startf, lensf, LB: int):
     # expansion itself only needs the wrap-free prefix when total <= LB
     # (LB < 2^31 always), so int32 cum stays valid whenever we don't retry.
     total = jnp.sum(lensf.astype(jnp.int64))
-    diff = startf - (cum - lensf)                        # start - exclusive cumsum
+    excl = cum - lensf                                   # exclusive cumsum
+    diff = startf - excl
     lane_ids = jnp.arange(LB, dtype=jnp.int32)
-    own = jnp.searchsorted(cum, lane_ids, side="right", method="sort")
-    own_c = jnp.minimum(own, N2 - 1).astype(jnp.int32)
+    rows = jnp.arange(N2, dtype=jnp.int32)
+    marks = jnp.full(LB + 1, -1, jnp.int32).at[jnp.minimum(excl, LB)].max(
+        rows, indices_are_sorted=True, mode="drop")
+    own_c = jnp.maximum(jax.lax.cummax(marks[:LB]), 0)
     lane_valid = lane_ids < jnp.minimum(total, LB)
     pidx_s = jnp.where(lane_valid, lane_ids + diff[own_c], 0)
     return own_c, pidx_s, lane_valid, total
@@ -227,19 +230,86 @@ def map_batch_jit(kmers, counts, keys, offsets, postings, pileup, tallies, cfg: 
     return map_batch(kmers, counts, keys, offsets, postings, pileup, tallies, cfg=cfg)
 
 
+def _merge_probe(q, keys, payload=None):
+    """Sorted-merge probe: one stable-ish sort of concat(keys, queries)
+    finds, for every query, the row of the last key <= it and whether that
+    key equals it — replacing jnp.searchsorted(method='sort') + the
+    key-verification gather (searchsorted internally pays TWO argsorts plus
+    two rank scatters; measured 168 ms -> 86 ms for the bench-shaped tally
+    probe). With `payload` (a per-key row array, e.g. the bucket genome
+    histogram, (U,) or (U,W)), the payload value is picked up INSIDE the
+    merge via a monotone row gather and carried through the unsort, fusing
+    the histogram lookup into the probe.
+
+    Returns (ii (B,J) int32 row of the matching key — clamped junk where
+    miss, hit (B,J) bool[, h (B,J[,W]) payload.dtype — 0 where miss])."""
+    U = keys.shape[0]
+    Bq = q.size
+    assert U < (1 << 30), "merge probe packs key rows into 30 bits"
+    xs = jnp.concatenate([keys, q.reshape(Bq)])
+    # secondary sort key: keys precede equal queries
+    tag = jnp.concatenate([jnp.zeros(U, jnp.int32), jnp.ones(Bq, jnp.int32)])
+    ordv = jnp.concatenate(
+        [jnp.zeros(U, jnp.int32), jnp.arange(Bq, dtype=jnp.int32)])
+    xs_s, tag_s, ord_s = jax.lax.sort((xs, tag, ordv), num_keys=2,
+                                      is_stable=False)
+    is_key = tag_s == 0
+    rank = jnp.cumsum(is_key.astype(jnp.int32)) - 1      # row of last key <= x
+    # sorted order makes key values monotone, so the last key's VALUE
+    # propagates with a cummax; rank >= 0 guards queries below every key
+    # (the 0 sentinel could otherwise false-match a query equal to 0)
+    lastkey = jax.lax.cummax(jnp.where(is_key, xs_s, 0))
+    eq = (lastkey == xs_s) & (rank >= 0)
+    rank_c = jnp.maximum(rank, 0)
+    packed = rank_c | (eq.astype(jnp.int32) << 30)
+    # unsort the queries: keys push to the end with an out-of-range ordinal
+    ordk = jnp.where(is_key, jnp.int32(2**31 - 1), ord_s)
+    cols = ()
+    if payload is not None:
+        p2 = payload if payload.ndim == 2 else payload[:, None]
+        cols = tuple(jnp.where(eq, p2[rank_c, w], jnp.zeros((), p2.dtype))
+                     for w in range(p2.shape[1]))        # monotone gathers
+    out = jax.lax.sort((ordk, packed) + cols, num_keys=1, is_stable=False)
+    packed_q = out[1][:Bq].reshape(q.shape)
+    ii = packed_q & ((1 << 30) - 1)
+    hit = (packed_q >> 30) == 1
+    if payload is None:
+        return ii, hit
+    h_cols = [c[:Bq].reshape(q.shape) for c in out[2:]]
+    h = h_cols[0] if payload.ndim == 1 else jnp.stack(h_cols, axis=-1)
+    return ii, hit, h
+
+
 def _probe(kmers, counts, keys, offsets, *, cfg: MapConfig):
-    """Shared probe front end: canonicalize, bucket, binary-search.
+    """Shared probe front end: canonicalize, bucket, merge-probe.
 
     Returns (q_rowidx (B,J) int32, hit (B,J) bool, canon, is_rc)."""
     k = cfg.k
-    U = keys.shape[0]
     canon, is_rc = canonical(kmers, k, jnp)
     buckets = assign_buckets(canon, k, jnp)
     q = buckets[:, np.asarray(cfg.positions)]
-    ii = jnp.searchsorted(keys, q, method="sort")
-    ii_c = jnp.minimum(ii, U - 1).astype(jnp.int32)
-    hit = (keys[ii_c] == q) & (counts > 0)[:, None]
+    ii_c, hit = _merge_probe(q, keys)
+    hit = hit & (counts > 0)[:, None]
     return ii_c, hit, canon, is_rc
+
+
+def _probe_payload(kmers, counts, keys, payload, *, cfg: MapConfig):
+    """Probe with the per-bucket histogram fused into the merge sort:
+    the histogram row rides the probe's own unsort as extra sort operands
+    (picked up by a MONOTONE gather in merge order) instead of a separate
+    random `hist[ii_c]` gather after the probe.
+
+    Returns (ii_c, hit, h) with h zeroed on miss AND on padding k-mers."""
+    k = cfg.k
+    canon, is_rc = canonical(kmers, k, jnp)
+    buckets = assign_buckets(canon, k, jnp)
+    q = buckets[:, np.asarray(cfg.positions)]
+    ii_c, hit, h = _merge_probe(q, keys, payload)
+    valid = (counts > 0)[:, None]
+    hit = hit & valid
+    mask = valid if h.ndim == valid.ndim else valid[..., None]
+    h = jnp.where(mask, h, jnp.zeros((), h.dtype))
+    return ii_c, hit, h, canon, is_rc
 
 
 def tally_hist(kmers, counts, keys, offsets, hist, *, cfg: MapConfig):
@@ -247,8 +317,7 @@ def tally_hist(kmers, counts, keys, offsets, hist, *, cfg: MapConfig):
     (kmer, bucket) query instead of one per posting lane. Valid for G <= 8
     genomes with bucket sizes <= 255 (checked at index load)."""
     G = cfg.num_genomes
-    ii_c, hit, _, _ = _probe(kmers, counts, keys, offsets, cfg=cfg)
-    h = jnp.where(hit, hist[ii_c], 0)                      # (B,J) packed counts
+    _, _, h, _, _ = _probe_payload(kmers, counts, keys, hist, cfg=cfg)
     # unpack per bucket THEN sum over buckets (per-bucket bytes can't
     # overflow — bucket size <= 255 — but a packed sum across J could)
     shifts8 = jnp.arange(G, dtype=hist.dtype) * hist.dtype.type(8)
@@ -262,8 +331,7 @@ def tally_hist_multi(kmers, counts, keys, offsets, hist_words, *, cfg: MapConfig
     postings the panel piles into each bucket."""
     G = cfg.num_genomes
     n_words = hist_words.shape[1]
-    ii_c, hit, _, _ = _probe(kmers, counts, keys, offsets, cfg=cfg)
-    hw = jnp.where(hit[..., None], hist_words[ii_c], 0)    # (B,J,W)
+    _, _, hw, _, _ = _probe_payload(kmers, counts, keys, hist_words, cfg=cfg)
     cols = []
     for w in range(n_words):
         word = hw[..., w]
@@ -337,8 +405,7 @@ def tally_save_jit(kmers, counts, keys, offsets, hist, tallies, cfg: MapConfig):
     def body(carry, batch):
         tl, lt = carry
         km, ct = batch
-        ii_c, hit, _, _ = _probe(km, ct, keys, offsets, cfg=cfg)
-        h = jnp.where(hit, hist[ii_c], 0)
+        ii_c, _, h, _, _ = _probe_payload(km, ct, keys, hist, cfg=cfg)
         shifts8 = jnp.arange(G, dtype=hist.dtype) * hist.dtype.type(8)
         per_g = (h[..., None] >> shifts8) & hist.dtype.type(0xFF)
         hits = per_g.sum(axis=1).astype(jnp.int32)
@@ -369,8 +436,7 @@ def tally_save_words_jit(kmers, counts, keys, offsets, hist_words, tallies,
     def body(carry, batch):
         tl, lt = carry
         km, ct = batch
-        ii_c, hit, _, _ = _probe(km, ct, keys, offsets, cfg=cfg)
-        hw = jnp.where(hit[..., None], hist_words[ii_c], 0)   # (B,J,W)
+        ii_c, _, hw, _, _ = _probe_payload(km, ct, keys, hist_words, cfg=cfg)
         cols = []
         for g in range(G):
             byte = (hw[..., g // 8] >> (8 * (g % 8))) & 0xFF
