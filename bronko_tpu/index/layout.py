@@ -20,7 +20,7 @@ from bronko_tpu.index.model import (
     BronkoIndex, CANON_SHIFT, FILE_MASK, FILE_SHIFT, IDX_MASK, SEQ_MASK, SEQ_SHIFT,
 )
 from bronko_tpu.ops.buckets import filtered_bucket_positions
-from bronko_tpu.ops.map import MapConfig
+from bronko_tpu.ops.map import MapConfig, pallas_probe_ok
 
 
 @dataclass
@@ -83,6 +83,7 @@ class DeviceIndex:
             num_genomes=self.num_genomes,
             total_len=self.total_len,
             lane_factor=min(self.max_bucket, max(4, int(np.ceil(avg)) + 2)),
+            use_pallas=pallas_probe_ok(),
         )
 
     def slices_for_file(self, file_id: int) -> list[SeqSlice]:

@@ -41,6 +41,7 @@ docs/mapping_semantics.md):
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -69,6 +70,19 @@ class MapConfig:
                                 # size + slack; overflow flag triggers retry
                                 # with a doubled factor)
     lane_budget: int | None = None  # explicit budget override (takes priority)
+    use_pallas: bool = False    # fused Mosaic canonicalize+bucket kernel for
+                                # the probe front end (TPU backends only)
+
+
+def pallas_probe_ok() -> bool:
+    """Default gate for cfg.use_pallas: Mosaic exists only on TPU backends;
+    BRONKO_NO_PALLAS=1 forces the XLA path (escape hatch)."""
+    if os.environ.get("BRONKO_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # noqa: BLE001 — backend init can fail under stubs
+        return False
 
 
 def probe_scatter(
@@ -280,14 +294,24 @@ def _merge_probe(q, keys, payload=None):
     return ii, hit, h
 
 
+def _bucket_q(kmers, *, cfg: MapConfig):
+    """Canonical form + filtered bucket queries: fused Mosaic kernel on TPU
+    (cfg.use_pallas), XLA closed forms elsewhere."""
+    k = cfg.k
+    if cfg.use_pallas:
+        from bronko_tpu.ops.pallas_buckets import bucket_queries_pallas
+
+        return bucket_queries_pallas(kmers, k, tuple(cfg.positions))
+    canon, is_rc = canonical(kmers, k, jnp)
+    buckets = assign_buckets(canon, k, jnp)
+    return buckets[:, np.asarray(cfg.positions)], canon, is_rc
+
+
 def _probe(kmers, counts, keys, offsets, *, cfg: MapConfig):
     """Shared probe front end: canonicalize, bucket, merge-probe.
 
     Returns (q_rowidx (B,J) int32, hit (B,J) bool, canon, is_rc)."""
-    k = cfg.k
-    canon, is_rc = canonical(kmers, k, jnp)
-    buckets = assign_buckets(canon, k, jnp)
-    q = buckets[:, np.asarray(cfg.positions)]
+    q, canon, is_rc = _bucket_q(kmers, cfg=cfg)
     ii_c, hit = _merge_probe(q, keys)
     hit = hit & (counts > 0)[:, None]
     return ii_c, hit, canon, is_rc
@@ -299,11 +323,9 @@ def _probe_payload(kmers, counts, keys, payload, *, cfg: MapConfig):
     (picked up by a MONOTONE gather in merge order) instead of a separate
     random `hist[ii_c]` gather after the probe.
 
-    Returns (ii_c, hit, h) with h zeroed on miss AND on padding k-mers."""
-    k = cfg.k
-    canon, is_rc = canonical(kmers, k, jnp)
-    buckets = assign_buckets(canon, k, jnp)
-    q = buckets[:, np.asarray(cfg.positions)]
+    Returns (ii_c, hit, h, canon, is_rc) with h zeroed on miss AND on
+    padding k-mers."""
+    q, canon, is_rc = _bucket_q(kmers, cfg=cfg)
     ii_c, hit, h = _merge_probe(q, keys, payload)
     valid = (counts > 0)[:, None]
     hit = hit & valid

@@ -31,7 +31,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bronko_tpu.index.layout import DeviceIndex, SeqSlice
 from bronko_tpu.index.model import BronkoIndex
-from bronko_tpu.ops.map import MapConfig, classify_tallies, probe_scatter
+from bronko_tpu.ops.map import (MapConfig, classify_tallies, pallas_probe_ok,
+                                probe_scatter)
 
 KEY_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -63,6 +64,7 @@ class ShardedIndex:
             num_genomes=self.num_genomes,
             total_len=self.t_pad,
             lane_factor=min(self.max_bucket, max(4, int(np.ceil(avg)) + 2)),
+            use_pallas=pallas_probe_ok(),
         )
 
 
