@@ -75,9 +75,17 @@ class MapConfig:
 
 
 def pallas_probe_ok() -> bool:
-    """Default gate for cfg.use_pallas: Mosaic exists only on TPU backends;
-    BRONKO_NO_PALLAS=1 forces the XLA path (escape hatch)."""
-    if os.environ.get("BRONKO_NO_PALLAS"):
+    """Opt-in gate for cfg.use_pallas (BRONKO_PALLAS=1, TPU backends only).
+
+    Measured on the bench workload (155k unique k-mers, 4-genome panel,
+    tools/bench_probe_tpu.py): the fused Mosaic canonicalize+bucket kernel
+    ran the tally pass at 222 ms vs 156 ms for the XLA closed forms feeding
+    the merge-probe sort — XLA fuses the bucket math into the sort's
+    operand preparation, while the kernel pays a (J, B) plane transpose
+    and u64 recombination it can't amortize. The XLA path is therefore the
+    DEFAULT; the kernel stays available for revalidation on future
+    hardware/compilers (bit-identical outputs, tests/test_pallas_buckets.py)."""
+    if not os.environ.get("BRONKO_PALLAS"):
         return False
     try:
         return jax.default_backend() not in ("cpu",)
@@ -117,7 +125,7 @@ def probe_scatter(
     LB = cfg.lane_budget if cfg.lane_budget else B * J * cfg.lane_factor
 
     ii_c, hit, canon, is_rc = _probe(kmers, counts, keys, offsets, cfg=cfg)
-    pc = _fold_table(canon, is_rc, counts, k)
+    pc = _fold_pc(kmers, counts, cfg=cfg, canon=canon, is_rc=is_rc)
 
     startf = offsets[ii_c].reshape(N2)
     endf = offsets[ii_c + 1].reshape(N2)
@@ -147,6 +155,20 @@ def _fold_table(canon, is_rc, counts, k: int):
     return (bases | (mirror << 2)
             | (is_rc.astype(jnp.int32) << 4)[:, None]
             | (counts << 5)[:, None]).reshape(B * k)
+
+
+def _fold_pc(kmers, counts, *, cfg: MapConfig, canon=None, is_rc=None):
+    """Fold table dispatch: fused Mosaic canonical+fold kernel on TPU
+    (cfg.use_pallas — recomputing the revcomp in VMEM is cheaper than
+    materializing the XLA (B,k) u64 unpack in HBM), XLA elsewhere
+    (reusing canon/is_rc when the caller already has them)."""
+    if cfg.use_pallas:
+        from bronko_tpu.ops.pallas_buckets import fold_table_pallas
+
+        return fold_table_pallas(kmers, counts, cfg.k)
+    if canon is None:
+        canon, is_rc = canonical(kmers, cfg.k, jnp)
+    return _fold_table(canon, is_rc, counts, cfg.k)
 
 
 def _expand_lanes(startf, lensf, LB: int):
@@ -261,23 +283,23 @@ def _merge_probe(q, keys, payload=None):
     Bq = q.size
     assert U < (1 << 30), "merge probe packs key rows into 30 bits"
     xs = jnp.concatenate([keys, q.reshape(Bq)])
-    # secondary sort key: keys precede equal queries
-    tag = jnp.concatenate([jnp.zeros(U, jnp.int32), jnp.ones(Bq, jnp.int32)])
-    ordv = jnp.concatenate(
-        [jnp.zeros(U, jnp.int32), jnp.arange(Bq, dtype=jnp.int32)])
-    xs_s, tag_s, ord_s = jax.lax.sort((xs, tag, ordv), num_keys=2,
-                                      is_stable=False)
-    is_key = tag_s == 0
+    # ONE packed secondary operand: keys get 0 (so they precede equal
+    # queries), queries get 1 + their ordinal (so the later unsort can
+    # recover the original position and equal queries order
+    # deterministically)
+    ot = jnp.concatenate(
+        [jnp.zeros(U, jnp.int32), 1 + jnp.arange(Bq, dtype=jnp.int32)])
+    xs_s, ot_s = jax.lax.sort((xs, ot), num_keys=2, is_stable=False)
+    is_key = ot_s == 0
     rank = jnp.cumsum(is_key.astype(jnp.int32)) - 1      # row of last key <= x
-    # sorted order makes key values monotone, so the last key's VALUE
-    # propagates with a cummax; rank >= 0 guards queries below every key
-    # (the 0 sentinel could otherwise false-match a query equal to 0)
-    lastkey = jax.lax.cummax(jnp.where(is_key, xs_s, 0))
-    eq = (lastkey == xs_s) & (rank >= 0)
     rank_c = jnp.maximum(rank, 0)
+    # the last key <= x has row `rank`; keys[rank_c] is a MONOTONE gather
+    # (rank is non-decreasing in merge order — far cheaper than a u64
+    # cummax scan); rank >= 0 guards queries below every key
+    eq = (keys[rank_c] == xs_s) & (rank >= 0)
     packed = rank_c | (eq.astype(jnp.int32) << 30)
     # unsort the queries: keys push to the end with an out-of-range ordinal
-    ordk = jnp.where(is_key, jnp.int32(2**31 - 1), ord_s)
+    ordk = jnp.where(is_key, jnp.int32(2**31 - 1), ot_s)
     cols = ()
     if payload is not None:
         p2 = payload if payload.ndim == 2 else payload[:, None]
@@ -495,8 +517,7 @@ def pileup_from_saved_words_jit(kmers, counts, ii_all, hw_all, offsets,
         N2 = B * J
         LB = cfg.lane_budget if cfg.lane_budget else B * J * cfg.lane_factor
 
-        canon, is_rc = canonical(km, k, jnp)
-        pc = _fold_table(canon, is_rc, ct, k)
+        pc = _fold_pc(km, ct, cfg=cfg)
 
         wb = best // 8
         sb = best % 8
@@ -545,8 +566,7 @@ def pileup_from_saved_jit(kmers, counts, ii_all, h_all, offsets, postings,
         N2 = B * J
         LB = cfg.lane_budget if cfg.lane_budget else B * J * cfg.lane_factor
 
-        canon, is_rc = canonical(km, k, jnp)
-        pc = _fold_table(canon, is_rc, ct, k)
+        pc = _fold_pc(km, ct, cfg=cfg)
 
         bytes_g = ((h[..., None] >> (g_ids * 8)) & 0xFF).astype(jnp.int32)  # (B,J,G)
         lens = jnp.sum(jnp.where(g_ids == best, bytes_g, 0), axis=-1)

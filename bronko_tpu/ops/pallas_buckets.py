@@ -61,13 +61,12 @@ def _shl64_small(v, s: int):
     return v >> (32 - s), v << s
 
 
-def _bucket_kernel(hi_ref, lo_ref, qhi_ref, qlo_ref, chi_ref, clo_ref,
-                   rc_ref, *, k: int, positions: tuple[int, ...]):
-    fhi = hi_ref[:]
-    flo = lo_ref[:]
+def _canonical_u32(fhi, flo, k: int):
+    """Reverse complement + canonicalization on (hi, lo) uint32 planes.
 
-    # reverse complement (lcb.rs:76-85): k steps of extract-low-base,
-    # complement, shift-in. Top bits stay zero (only k shifts from zero).
+    revcomp (lcb.rs:76-85): k steps of extract-low-base, complement,
+    shift-in; top bits stay zero (only k shifts from zero). canonical =
+    min(fwd, rc), is_rc = fwd >= rc (u64 unsigned compare)."""
     rc_hi = jnp.zeros_like(fhi)
     rc_lo = jnp.zeros_like(flo)
     for i in range(k):
@@ -75,11 +74,17 @@ def _bucket_kernel(hi_ref, lo_ref, qhi_ref, qlo_ref, chi_ref, clo_ref,
         base = ((flo >> bp) if bp < 32 else (fhi >> (bp - 32))) & _u32(3)
         rc_hi = (rc_hi << 2) | (rc_lo >> 30)
         rc_lo = (rc_lo << 2) | (base ^ _u32(3))
-
-    # canonical = min(fwd, rc); is_rc = fwd >= rc (u64 unsigned compare)
     is_rc = (fhi > rc_hi) | ((fhi == rc_hi) & (flo >= rc_lo))
     chi = jnp.where(is_rc, rc_hi, fhi)
     clo = jnp.where(is_rc, rc_lo, flo)
+    return chi, clo, is_rc
+
+
+def _bucket_kernel(hi_ref, lo_ref, qhi_ref, qlo_ref, chi_ref, clo_ref,
+                   rc_ref, *, k: int, positions: tuple[int, ...]):
+    fhi = hi_ref[:]
+    flo = lo_ref[:]
+    chi, clo, is_rc = _canonical_u32(fhi, flo, k)
 
     # bucket math (ops/buckets.py closed forms): one pass accumulates
     # sum_mu and the exclusive 'A'-prefix count, saving the per-position
@@ -187,3 +192,60 @@ def bucket_queries_pallas(kmers, k: int, positions: tuple[int, ...]):
     canon = ((chi.astype(jnp.uint64) << jnp.uint64(32))
              | clo.astype(jnp.uint64)).reshape(Bp)[:B]
     return q, canon, is_rc.reshape(Bp)[:B]
+
+
+def _fold_kernel(hi_ref, lo_ref, cnt_ref, out_ref, *, k: int):
+    fhi = hi_ref[:]
+    flo = lo_ref[:]
+    chi, clo, is_rc = _canonical_u32(fhi, flo, k)
+    head = ((is_rc.astype(jnp.int32) << 4)
+            | (cnt_ref[:] << 5))                          # rc flag + count
+    for i in range(k):
+        shift = 2 * (k - 1 - i)                           # base i (leftmost=0)
+        base = ((clo >> shift) if shift < 32 else (chi >> (shift - 32))) & _u32(3)
+        shift_m = 2 * i                                   # base k-1-i
+        basem = ((clo >> shift_m) if shift_m < 32
+                 else (chi >> (shift_m - 32))) & _u32(3)
+        out_ref[i] = (base | ((_u32(3) - basem) << 2)).astype(jnp.int32) | head
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def fold_table_pallas(kmers, counts, k: int):
+    """(B,) uint64 k-mers + (B,) int32 counts -> (B*k,) int32 fold table.
+
+    Bit-identical to ops/map._fold_table(canonical(kmers)) — the
+    per-(kmer, position) packed record of non-canonical base (bits 0-1),
+    mirrored complement (2-3), rc flag (4), and count (5+) — computed
+    entirely in VMEM (the XLA path materializes (B, k) uint64 base/mirror
+    intermediates in HBM)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = kmers.shape[0]
+    C = 128
+    TILE = 8
+    n = TILE * C
+    Bp = -(-B // n) * n
+    if Bp != B:
+        kmers = jnp.concatenate([kmers, jnp.zeros(Bp - B, kmers.dtype)])
+        counts = jnp.concatenate([counts, jnp.zeros(Bp - B, counts.dtype)])
+    R = Bp // C
+    hi = (kmers >> jnp.uint64(32)).astype(jnp.uint32).reshape(R, C)
+    lo = kmers.astype(jnp.uint32).reshape(R, C)
+    cnt = counts.astype(jnp.int32).reshape(R, C)
+
+    with jax.enable_x64(False):
+        pc = pl.pallas_call(
+            functools.partial(_fold_kernel, k=k),
+            grid=(R // TILE,),
+            in_specs=[
+                pl.BlockSpec((TILE, C), lambda g: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE, C), lambda g: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE, C), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((k, TILE, C), lambda g: (0, g, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((k, R, C), jnp.int32),
+        )(hi, lo, cnt)
+
+    return pc.reshape(k, Bp)[:, :B].T.reshape(B * k)

@@ -62,6 +62,28 @@ def test_kernel_u64_wrap_at_k31():
     np.testing.assert_array_equal(np.asarray(q_p), q_x)
 
 
+@pytest.mark.parametrize("k", [15, 21, 31])
+def test_fold_kernel_matches_xla(k):
+    from jax.experimental import pallas as pl
+
+    from bronko_tpu.ops import pallas_buckets
+    from bronko_tpu.ops.map import _fold_table
+
+    rng = np.random.default_rng(13 + k)
+    B = 300
+    kmers = rng.integers(0, 1 << (2 * k), size=B, dtype=np.uint64)
+    counts = rng.integers(0, 1_000_000, size=B, dtype=np.int32)
+
+    canon, is_rc = canonical(kmers, k, np)
+    want = np.asarray(_fold_table(canon, is_rc, counts, k))
+
+    orig = pl.pallas_call
+    with mock.patch.object(pl, "pallas_call",
+                           functools.partial(orig, interpret=True)):
+        got = np.asarray(pallas_buckets.fold_table_pallas(kmers, counts, k))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_probe_integration_matches_xla_path():
     """tally_hist with cfg.use_pallas (interpret mode) == the XLA path."""
     import dataclasses
