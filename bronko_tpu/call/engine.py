@@ -434,7 +434,7 @@ def call_sample_variants(
     return records, stats, seq_pileups
 
 
-def _process_one(
+def _map_one(
     display_path: str,
     kmers: np.ndarray,
     counts: np.ndarray,
@@ -443,7 +443,13 @@ def _process_one(
     dev: DeviceIndex,
     cfg: CallConfig,
     sharded: "ShardedMapper | None" = None,
-) -> tuple[SampleSummary, tuple[str, list[VCFRecord]]]:
+):
+    """Device phase of one sample: count results -> tallies -> selection ->
+    pileup dispatch. Returns (best, tallies, pileup) with the pileup still
+    on device — the host phase (_finish_one) can then run on a worker
+    thread while the NEXT sample's device work dispatches (the reference
+    overlaps nothing here; its call_variants is 1% of runtime on a thread
+    that has nothing else to do, call.rs:969)."""
     t0 = time.time()
     mcfg = dev.map_config(cfg.n_fixed, cfg.use_full_kmer)
     saved = None
@@ -519,7 +525,22 @@ def _process_one(
     else:
         pileup = jnp.zeros((4, dev.g_total_len + 1, 4), jnp.int32)
     log.info("Scattered pileup in %.2fs", time.time() - t1)
+    return best, pileup, (n_perfect, n_variant, n_unmapped)
 
+
+def _finish_one(
+    display_path: str,
+    index: BronkoIndex,
+    dev: DeviceIndex,
+    cfg: CallConfig,
+    best: int,
+    pileup,
+    tally_triple: tuple[int, int, int],
+) -> tuple[SampleSummary, tuple[str, list[VCFRecord]]]:
+    """Host phase of one sample: noise scan + filter cascade (f64) + output
+    writes. Runs on a worker thread overlapped with the next sample's
+    device phase."""
+    n_perfect, n_variant, n_unmapped = tally_triple
     records, stats, seq_pileups = call_sample_variants(index, dev, cfg, best, pileup)
 
     from bronko_tpu.parallel.distributed import is_primary
@@ -530,9 +551,12 @@ def _process_one(
         write_vcf(cfg.output, display_path, records, index.files[best])
 
     summary = SampleSummary(
-        display_path, best_name, stats, n_perfect, n_variant, n_unmapped
+        display_path, index.files[best].name, stats, n_perfect, n_variant,
+        n_unmapped
     )
     return summary, (display_path, records)
+
+
 
 
 def _process_one_stream(
@@ -734,8 +758,12 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
     else:
         jobs_iter = jobs
 
-    with ThreadPoolExecutor(max_workers=1) as pool:
+    from concurrent.futures import wait as _fwait
+
+    with ThreadPoolExecutor(max_workers=1) as pool, \
+            ThreadPoolExecutor(max_workers=1) as call_pool:
         futures: list = []
+        call_futs: list[tuple[str, object]] = []
 
         def _ensure_submitted(upto: int) -> None:
             while len(futures) < min(upto, len(jobs_iter)):
@@ -766,15 +794,31 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
                     with open(dump, "w") as fh:
                         for km, ct in zip(kmers.tolist(), counts.tolist()):
                             fh.write(f"{kmer_to_string(km, index.k)}\t{ct}\n")
-                summary, vinfo = _process_one(
+                best, pileup, triple = _map_one(
                     display, kmers, counts, cstats, index, dev, cfg, sharded)
+                # host phase (noise scan + caller + writes) overlaps the
+                # NEXT sample's device phase; <=2 in flight bounds the live
+                # device pileups
+                if len(call_futs) >= 2:
+                    _fwait([call_futs[-2][1]])
+                call_futs.append((display, call_pool.submit(
+                    _finish_one, display, index, dev, cfg, best, pileup, triple)))
+            except SystemExit:
+                raise
+            except Exception:  # noqa: BLE001 — per-sample isolation
+                log.exception("Sample %s failed; continuing with remaining samples", label)
+                failures.append(display)
+
+        for display, cf in call_futs:
+            try:
+                summary, vinfo = cf.result()
                 summaries.append(summary)
                 variant_info.append(vinfo)
                 log_memory_usage("Called variants successfully")
             except SystemExit:
                 raise
             except Exception:  # noqa: BLE001 — per-sample isolation
-                log.exception("Sample %s failed; continuing with remaining samples", label)
+                log.exception("Sample %s failed; continuing with remaining samples", display)
                 failures.append(display)
 
     if failures and not summaries:
