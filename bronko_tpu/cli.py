@@ -28,7 +28,7 @@ def build_parser() -> argparse.ArgumentParser:
     sub = ap.add_subparsers(dest="mode", required=True)
 
     b = sub.add_parser("build", help="Create a bronko index of viral references")
-    b.add_argument("-g", "--genomes", nargs="+", default=[],
+    b.add_argument("-g", "--genomes", nargs="+", action="extend", default=[],
                    help="Genome files to be built into index (fasta/gzip)")
     b.add_argument("-k", "--kmer-size", dest="kmer", type=int,
                    default=consts.DEFAULT_KMER_SIZE, help="Kmer size")
@@ -37,14 +37,14 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(b)
 
     c = sub.add_parser("call", help="Perform rapid viral variant calling")
-    c.add_argument("-g", "--genomes", nargs="+", default=None,
+    c.add_argument("-g", "--genomes", nargs="+", action="extend", default=None,
                    help="Genome fasta(.gz) files to use as references")
     c.add_argument("-d", "--db", default=None, help="Use a prebuilt bronko db (.bkdb)")
-    c.add_argument("-r", "--reads", nargs="+", default=[],
+    c.add_argument("-r", "--reads", nargs="+", action="extend", default=[],
                    help="Input single-end reads (fastq/gzip)")
-    c.add_argument("-1", "--first-pairs", dest="first_pairs", nargs="+", default=[],
+    c.add_argument("-1", "--first-pairs", dest="first_pairs", nargs="+", action="extend", default=[],
                    help="First pairs for raw paired-end reads (fastq/gzip)")
-    c.add_argument("-2", "--second-pairs", dest="second_pairs", nargs="+", default=[],
+    c.add_argument("-2", "--second-pairs", dest="second_pairs", nargs="+", action="extend", default=[],
                    help="Second pairs for raw paired-end reads (fastq/gzip)")
     c.add_argument("-k", "--kmer-size", dest="kmer", type=int,
                    default=consts.DEFAULT_KMER_SIZE, help="Kmer size used for analysis")

@@ -115,3 +115,24 @@ def test_long_read_python_fallback(tmp_path):
     k2, c2, s2 = count_sample(fq, cfg2, 21)
     assert np.array_equal(kmers, k2) and np.array_equal(counts, c2)
     assert s2.total_kmers == stats.total_kmers
+
+
+def test_repeated_multi_value_flags_append():
+    """Repeated -r/-g/-1/-2 occurrences must APPEND (clap num_args=1..
+    semantics, cli.rs:73-80) — argparse's default nargs='+' handling
+    silently kept only the last occurrence."""
+    from bronko_tpu.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["call", "-d", "x.bkdb", "-r", "a.fq", "-r", "b.fq",
+                      "c.fq", "-o", "out"])
+    assert a.reads == ["a.fq", "b.fq", "c.fq"]
+    a = p.parse_args(["call", "-d", "x.bkdb", "-1", "a1.fq", "-1", "b1.fq",
+                      "-2", "a2.fq", "-2", "b2.fq", "-o", "out"])
+    assert a.first_pairs == ["a1.fq", "b1.fq"]
+    assert a.second_pairs == ["a2.fq", "b2.fq"]
+    a = p.parse_args(["build", "-g", "g1.fa", "-g", "g2.fa", "-o", "db"])
+    assert a.genomes == ["g1.fa", "g2.fa"]
+    # the default list must not accumulate across parses
+    a = p.parse_args(["call", "-d", "x.bkdb", "-o", "out"])
+    assert a.reads == [] and a.genomes is None
