@@ -106,14 +106,14 @@ def native_count_fastq(path: str, k: int, min_count: int, count_cap: int,
     Returns (kmers u64 sorted, counts int64, stats dict). Matches KMC -b
     -ci<min> -cs<cap> semantics like ops/count.KmerCounter.
 
-    `threads` is the TOTAL thread budget: the C++ pipeline runs one reader
-    (gzip inflate + record split) plus `threads - 1` hash workers. Counting
-    the bench FASTQ on a 4-core host measured 0.49s at reader+3 workers vs
-    0.63-0.92s when workers alone consume the full budget (oversubscribed).
+    `threads` is the TOTAL thread budget. The C++ side picks the split:
+    whole-buffer front end (one-shot libdeflate/zlib inflate, then parse+
+    count on ALL threads) for ordinary files; reader + threads-1 counters
+    for the streaming large-file fallback.
     """
     lib = get_lib()
     assert lib is not None
-    h = lib.bronko_counter_create(k, max(1, threads - 1))
+    h = lib.bronko_counter_create(k, max(1, threads))
     try:
         rc = lib.bronko_counter_count_fastq(h, path.encode())
         if rc == -1:
@@ -150,8 +150,7 @@ def native_count_fastq_stream(paths: list[str], k: int, min_count: int,
     lib = get_lib()
     assert lib is not None
     for path in paths:
-        # total budget = reader + (threads - 1) workers, as in native_count_fastq
-        h = lib.bronko_counter_create(k, max(1, threads - 1))
+        h = lib.bronko_counter_create(k, max(1, threads))
         try:
             rc = lib.bronko_counter_count_fastq(h, path.encode())
             if rc == -1:

@@ -98,3 +98,66 @@ def test_host_counter_cap(tmp_path):
             fh.write(f"@r{i}\n{'A'*40}\n+\n{'I'*40}\n")
     kmers, counts, st = native_count_fastq(path, 15, 1, 10)
     assert kmers.tolist() == [0] and counts.tolist() == [10]
+
+
+def test_host_counter_wholebuf_edge_cases(tmp_path):
+    """The whole-buffer front end (libdeflate/zlib one-shot inflate +
+    record-aligned slice parsing) must handle multi-member gzip, CRLF line
+    endings, N bases, a missing final newline, and lowercase — and agree
+    with the plain-file path byte-for-byte."""
+    import gzip
+
+    import numpy as np
+
+    from bronko_tpu.io.native import native_count_fastq
+
+    rng = np.random.default_rng(11)
+    reads = []
+    for i in range(300):
+        r = "".join(rng.choice(list("ACGT"), size=60))
+        if i % 7 == 0:
+            r = r[:20] + "N" + r[21:]
+        if i % 11 == 0:
+            r = r.lower()
+        reads.append(r)
+    recs = [f"@r{i}\n{r}\n+\n{'I' * len(r)}\n" for i, r in enumerate(reads)]
+
+    plain = str(tmp_path / "p.fastq")
+    with open(plain, "w") as fh:
+        fh.write("".join(recs))
+    k_ref, c_ref, st_ref = native_count_fastq(plain, 21, 1, 1_000_000)
+    assert st_ref["total_reads"] == 300
+
+    # multi-member gzip (e.g. concatenated lane files)
+    multi = str(tmp_path / "m.fastq.gz")
+    with open(multi, "wb") as fh:
+        fh.write(gzip.compress("".join(recs[:100]).encode()))
+        fh.write(gzip.compress("".join(recs[100:]).encode()))
+    k2, c2, st2 = native_count_fastq(multi, 21, 1, 1_000_000)
+    assert st2 == st_ref
+    assert np.array_equal(k2, k_ref) and np.array_equal(c2, c_ref)
+
+    # CRLF line endings + no trailing newline on the final quality line
+    crlf = str(tmp_path / "c.fastq.gz")
+    body = "".join(recs).replace("\n", "\r\n")[:-2]  # strip final \r\n
+    with gzip.open(crlf, "wb") as fh:
+        fh.write(body.encode())
+    k3, c3, st3 = native_count_fastq(crlf, 21, 1, 1_000_000)
+    assert st3 == st_ref
+    assert np.array_equal(k3, k_ref) and np.array_equal(c3, c_ref)
+
+    # record truncated before its '+' line is dropped, like the streaming path
+    trunc = str(tmp_path / "t.fastq")
+    with open(trunc, "w") as fh:
+        fh.write("".join(recs))
+        fh.write("@late\nACGTACGTACGTACGTACGTACGTA")  # header+seq only
+    k4, c4, st4 = native_count_fastq(trunc, 21, 1, 1_000_000)
+    assert st4["total_reads"] == 300
+    assert np.array_equal(k4, k_ref) and np.array_equal(c4, c_ref)
+
+    # malformed: a record not starting with '@'
+    bad = str(tmp_path / "bad.fastq")
+    with open(bad, "w") as fh:
+        fh.write("".join(recs[:10]) + "notaheader\nACGT\n+\nIIII\n")
+    with pytest.raises(ValueError):
+        native_count_fastq(bad, 21, 1, 1_000_000)
