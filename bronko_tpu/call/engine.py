@@ -443,13 +443,16 @@ def _map_one(
     dev: DeviceIndex,
     cfg: CallConfig,
     sharded: "ShardedMapper | None" = None,
+    batches=None,
 ):
     """Device phase of one sample: count results -> tallies -> selection ->
     pileup dispatch. Returns (best, tallies, pileup) with the pileup still
     on device — the host phase (_finish_one) can then run on a worker
     thread while the NEXT sample's device work dispatches (the reference
     overlaps nothing here; its call_variants is 1% of runtime on a thread
-    that has nothing else to do, call.rs:969)."""
+    that has nothing else to do, call.rs:969). `batches` carries (kj, cj)
+    already device_put by the prefetch worker (upload overlapped with the
+    previous sample's device phase)."""
     t0 = time.time()
     mcfg = dev.map_config(cfg.n_fixed, cfg.use_full_kmer)
     saved = None
@@ -457,9 +460,12 @@ def _map_one(
         kj = cj = None
         tallies = np.zeros((dev.num_genomes, 3), np.int64)
     else:
-        kj, cj = _prepare_batches(
-            kmers, counts, cfg.batch_size, upload=sharded is None,
-            multiple=sharded.n_devices if sharded is not None else 1)
+        if batches is not None and sharded is None:
+            kj, cj = batches
+        else:
+            kj, cj = _prepare_batches(
+                kmers, counts, cfg.batch_size, upload=sharded is None,
+                multiple=sharded.n_devices if sharded is not None else 1)
         if sharded is not None:
             kj, cj = sharded.place_batches(kj, cj)
         J = len(mcfg.positions)
@@ -682,10 +688,18 @@ def _can_stream(cfg: CallConfig, dev: DeviceIndex, sharded) -> bool:
         return False
 
 
-def _count_job(paths: list[str], cfg: CallConfig, k: int):
+def _count_job(paths: list[str], cfg: CallConfig, k: int,
+               upload: bool = False):
     """Count one sample (single-end: [r]; paired: [r1, r2] concatenated —
     semantics identical to the reference's two map_kmers passes into shared
-    pileups, call.rs:301-320)."""
+    pileups, call.rs:301-320).
+
+    With upload=True the mapping batches are built AND device_put here, on
+    the prefetch worker thread — the ~2.4 MB k-mer payload then rides the
+    host->device link while the PREVIOUS sample's device passes run,
+    instead of serializing ahead of this sample's tally dispatch (measured
+    ~0.08-0.13 s/sample through the 18 MB/s serving tunnel,
+    tools/bench_h2d_tpu.py)."""
     parts = [count_sample(p, cfg, k) for p in paths]
     kmers = np.concatenate([p[0] for p in parts])
     counts = np.concatenate([p[1] for p in parts])
@@ -695,7 +709,10 @@ def _count_job(paths: list[str], cfg: CallConfig, k: int):
         unique_kmers=sum(p[2].unique_kmers for p in parts),
         unique_counted_kmers=sum(p[2].unique_counted_kmers for p in parts),
     )
-    return kmers, counts, cstats
+    batches = None
+    if upload and kmers.shape[0] > 0:
+        batches = _prepare_batches(kmers, counts, cfg.batch_size)
+    return kmers, counts, cstats, batches
 
 
 def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[SampleSummary]:
@@ -767,7 +784,9 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
 
         def _ensure_submitted(upto: int) -> None:
             while len(futures) < min(upto, len(jobs_iter)):
-                futures.append(pool.submit(_count_job, jobs_iter[len(futures)], cfg, index.k))
+                futures.append(pool.submit(
+                    _count_job, jobs_iter[len(futures)], cfg, index.k,
+                    sharded is None))
 
         for ji, job in enumerate(jobs_iter):
             _ensure_submitted(ji + 2)
@@ -776,7 +795,7 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
             label = display if len(job) == 1 else f"{job[0]}, {job[1]}"
             log.info("Processing %s", label)
             try:
-                kmers, counts, cstats = fut.result()
+                kmers, counts, cstats, batches = fut.result()
                 log.info("%d reads counted from %s", cstats.total_reads, display)
                 log.info(
                     "%d unique kmers above %d count, %d total unique kmers, "
@@ -795,7 +814,8 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
                         for km, ct in zip(kmers.tolist(), counts.tolist()):
                             fh.write(f"{kmer_to_string(km, index.k)}\t{ct}\n")
                 best, pileup, triple = _map_one(
-                    display, kmers, counts, cstats, index, dev, cfg, sharded)
+                    display, kmers, counts, cstats, index, dev, cfg, sharded,
+                    batches=batches)
                 # host phase (noise scan + caller + writes) overlaps the
                 # NEXT sample's device phase; <=2 in flight bounds the live
                 # device pileups
