@@ -323,13 +323,16 @@ def run_pileup_saved(kj, cj, saved, dev: DeviceIndex, best: int, mcfg,
     )
     best_j = jnp.int32(best)
     fbase = jnp.int32(int(dev.file_bases[best]))
+    # narrow int32 postings (genome-local coords) when the panel fits them
+    post = (dev.postings_local32 if dev.postings_local32 is not None
+            else dev.postings)
     # 4-D saved histogram (nb, B, J, W) = multi-word large-panel probe
     pileup_fn = (pileup_from_saved_words_jit if h_all.ndim == 4
                  else pileup_from_saved_jit)
     while True:
         pileup = jnp.zeros((4, gcfg.total_len + 1, 4), jnp.int32)
         pileup, overflow = pileup_fn(
-            kj, cj, ii_all, h_all, dev.offsets, dev.postings,
+            kj, cj, ii_all, h_all, dev.offsets, post,
             pileup, best_j, fbase, gcfg)
         if not int(overflow):
             return pileup
@@ -644,6 +647,8 @@ def _process_one_stream(
     t1 = time.time()
     best_j = jnp.int32(best)
     fbase = jnp.int32(int(dev.file_bases[best]))
+    post = (dev.postings_local32 if dev.postings_local32 is not None
+            else dev.postings)
     pileup_fn = (pileup_from_saved_jit if dev.hist is not None
                  else pileup_from_saved_words_jit)
     pileup = jnp.zeros((4, dev.g_total_len + 1, 4), jnp.int32)
@@ -655,7 +660,7 @@ def _process_one_stream(
             lane_budget=_lane_class(int(np.asarray(lt)[best])),
         )
         pileup, _ov = pileup_fn(
-            kj, cj, ii_all, h_all, dev.offsets, dev.postings,
+            kj, cj, ii_all, h_all, dev.offsets, post,
             pileup, best_j, fbase, gcfg)
     log.info("Scattered pileup in %.2fs", time.time() - t1)
 

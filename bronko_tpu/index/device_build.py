@@ -159,6 +159,15 @@ def _phase_b(keys_s, post_s, fid_s, is_new, u_pad: int, n_words: int,
     return keys_u, offsets, hist[:-1].reshape(u_pad, W2)
 
 
+@jax.jit
+def _narrow_postings(post, file_bases):
+    """int64 global postings -> int32 genome-local pass-2 layout
+    (lpos<<6 | canon<<5 | idx)."""
+    fid = ((post >> 6) & 0xFFFF).astype(jnp.int32)
+    lpos = (post >> 22) - file_bases[fid]
+    return ((lpos << 6) | (post & 63)).astype(jnp.int32)
+
+
 def _combine_halves(hist_halves, G: int, E: int):
     """Half-word planes -> the exact layout.py histogram formats."""
     lo = hist_halves[:, 0::2].astype(jnp.uint32).astype(jnp.int64)
@@ -256,6 +265,14 @@ def device_build(index: BronkoIndex) -> DeviceIndex:
 
     postings = post_s[:p_valid]
 
+    # narrow pass-2 postings (genome-local int32; see layout.py) derived on
+    # device — one elementwise pass, no transfer
+    postings_local32 = None
+    if G and int(genome_lens.max()) < (1 << 25):
+        fb = jnp.asarray(np.concatenate(
+            [[0], np.cumsum(genome_lens)[:-1]]).astype(np.int64))
+        postings_local32 = _narrow_postings(postings, fb)
+
     log.info(
         "device index built: %d postings, %d buckets (padded %d), "
         "max bucket size %d", p_valid, U, u_pad, E)
@@ -294,6 +311,7 @@ def device_build(index: BronkoIndex) -> DeviceIndex:
         fid_grouped=True,
         file_bases=np.concatenate([[0], np.cumsum(genome_lens)[:-1]]).astype(np.int64)
         if G else np.zeros(0, np.int64),
+        postings_local32=postings_local32,
         _subindex_builder=_host_subindex,
     )
     return dev

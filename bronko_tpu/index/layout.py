@@ -60,6 +60,12 @@ class DeviceIndex:
     # probe-reuse pileup pass prerequisites: postings fid-grouped per bucket
     fid_grouped: bool = False
     file_bases: np.ndarray | None = None  # (G,) global offset of each file
+    # pass-2 narrow postings: genome-LOCAL scatter position and fold bits in
+    # one int32 (lpos<<6 | canonical<<5 | idx). 64-bit random gathers cost
+    # ~1.4x int32 on this chip (tools: 81 ms vs 57 ms per 1M lanes), and
+    # pass 2 needs neither file_id nor global positions. Present when every
+    # genome is < 2^25 bp (any viral panel); None otherwise.
+    postings_local32: jnp.ndarray | None = None
     # deferred sub-index constructor: the per-genome sub-index duplicates
     # the whole posting space (measured ~half of a 709MB 32-strain device
     # image), and the probe-reuse pass-2 never touches it — so when a
@@ -118,6 +124,16 @@ def build_device_index(index: BronkoIndex) -> DeviceIndex:
     gpos = seq_off + index.post_loc.astype(np.int64) + idx
     pmeta = idx | (canon << 5) | (file_id << 6)
     postings = (gpos << 22) | pmeta
+
+    # narrow pass-2 postings (genome-local coordinates, int32)
+    file_bases_arr = np.concatenate(
+        [[0], np.cumsum([f.total_len for f in index.files])[:-1]]
+    ).astype(np.int64) if index.files else np.zeros(0, np.int64)
+    postings_local32 = None
+    if meta.size and index.files and max(
+            f.total_len for f in index.files) < (1 << 25):
+        lpos = gpos - file_bases_arr[file_id]
+        postings_local32 = ((lpos << 6) | (canon << 5) | idx).astype(np.int32)
 
     genome_lens = np.asarray([f.total_len for f in index.files], np.int64)
     G = len(index.files)
@@ -238,8 +254,9 @@ def build_device_index(index: BronkoIndex) -> DeviceIndex:
         g_max_bucket=g_max_bucket,
         g_total_len=g_total_len,
         fid_grouped=fid_grouped,
-        file_bases=np.concatenate([[0], np.cumsum(genome_lens)[:-1]]).astype(np.int64)
-        if G else np.zeros(0, np.int64),
+        file_bases=file_bases_arr if G else np.zeros(0, np.int64),
+        postings_local32=(jnp.asarray(postings_local32)
+                          if postings_local32 is not None else None),
         _subindex_builder=subindex_builder,
     )
     if meta.size and subindex_builder is None:

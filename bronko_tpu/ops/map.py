@@ -210,13 +210,22 @@ def _scatter_lanes(pileup, pc, post, own_c, lane_valid, *, J: int, k: int,
     """Decode posting lanes and scatter the depth-max / count-add planes.
     pos_base shifts global posting positions into the pileup's local space
     (0 for a global pileup; the genome's base offset for pass 2).
-    Returns (pileup, owner kmer index b, posting file_id) for tallies."""
+    Returns (pileup, owner kmer index b, posting file_id) for tallies.
+
+    int32 postings (the pass-2 narrow layout, lpos<<6 | canon<<5 | idx) are
+    already genome-local — pos_base is ignored and fid decodes to 0 (pass 2
+    never reads it)."""
     T = pileup.shape[1] - 1
-    g = (post >> 22).astype(jnp.int32) - pos_base
-    m = (post & 0x3FFFFF).astype(jnp.int32)
+    if post.dtype == jnp.int32:
+        g = post >> 6
+        m = post & 63
+        fid = jnp.zeros_like(m)
+    else:
+        g = (post >> 22).astype(jnp.int32) - pos_base
+        m = (post & 0x3FFFFF).astype(jnp.int32)
+        fid = m >> 6
     idx = m & 31
     is_canon = (m >> 5) & 1
-    fid = m >> 6
 
     b = own_c // J
     v = pc[b * k + idx]   # mirror bits already hold the k-1-idx complement

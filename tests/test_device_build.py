@@ -48,6 +48,11 @@ def _assert_equal_indexes(host_dev, dev, label):
     assert np.all(do[U:] == do[-1]), f"{label}: pad offsets"
     assert np.array_equal(np.asarray(dev.postings),
                           np.asarray(host_dev.postings)), f"{label}: postings"
+    if host_dev.postings_local32 is not None:
+        assert dev.postings_local32 is not None
+        assert np.array_equal(np.asarray(dev.postings_local32),
+                              np.asarray(host_dev.postings_local32)), \
+            f"{label}: postings_local32"
     assert dev.fid_grouped
     if host_dev.hist is not None:
         assert dev.hist is not None and dev.hist.dtype == host_dev.hist.dtype

@@ -365,3 +365,41 @@ def test_words_probe_reuse_large_panel(tmp_path):
                                            n_kmers=len(kmers)))
         L = int(dev.genome_lens[best])
         assert np.array_equal(np.asarray(pileup)[:, :L], p_sub[:, :L]), best
+
+
+def test_pileup_saved_narrow_equals_wide(tmp_path):
+    """The int32 genome-local posting layout (postings_local32) must produce
+    bit-identical pass-2 pileups to the int64 global layout."""
+    from bronko_tpu.call.engine import _prepare_batches
+    from bronko_tpu.ops.map import pileup_from_saved_jit, tally_save_jit
+
+    rng = np.random.default_rng(99)
+    k = 21
+    files = [(f"g{i}", [(f"s{i}a", random_genome(rng, 280)),
+                        (f"s{i}b", random_genome(rng, 190))]) for i in range(3)]
+    index = make_index(tmp_path, files, k)
+    dev = build_device_index(index)
+    assert dev.postings_local32 is not None
+    assert dev.hist is not None and dev.fid_grouped
+    mcfg = dev.map_config(2, False)
+    kmer_counts = sample_kmers(rng, files, k, n_exact=140, n_mut=50, n_junk=6)
+    kmers = np.asarray([kc[0] for kc in kmer_counts], np.uint64)
+    counts = np.asarray([kc[1] for kc in kmer_counts], np.int64)
+    kj, cj = _prepare_batches(kmers, counts, 128)
+
+    tj = jnp.zeros((dev.num_genomes, 3), jnp.int32)
+    tj, lane_tot, ii_all, h_all = tally_save_jit(
+        kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
+    from dataclasses import replace
+    for best in range(3):
+        gcfg = replace(mcfg, total_len=dev.g_total_len,
+                       max_bucket=dev.g_max_bucket, lane_budget=1 << 14)
+        fbase = jnp.int32(int(dev.file_bases[best]))
+        args = (kj, cj, ii_all, h_all, dev.offsets)
+        tail = (jnp.int32(best), fbase, gcfg)
+        p64 = jnp.zeros((4, gcfg.total_len + 1, 4), jnp.int32)
+        p64, ov64 = pileup_from_saved_jit(*args, dev.postings, p64, *tail)
+        p32 = jnp.zeros((4, gcfg.total_len + 1, 4), jnp.int32)
+        p32, ov32 = pileup_from_saved_jit(*args, dev.postings_local32, p32, *tail)
+        assert int(ov64) == 0 and int(ov32) == 0
+        assert np.array_equal(np.asarray(p64), np.asarray(p32)), best
