@@ -170,6 +170,22 @@ def _pipeline_main():
     warm = _single_sample_run(index, dev, cfg, fastq)  # compile warmup
     r = _single_sample_run(index, dev, cfg, fastq)     # steady state
 
+    # production batch mode: host counting of sample i+1 overlaps device
+    # mapping of sample i (run_call's prefetch pipeline). Measured BEFORE the
+    # streamed runs: streaming's per-partition donated buffers fragment HBM
+    # through the serving relay and were observed to slow subsequent batch
+    # allocations. NOTE: the same FASTQ x3 keeps the host page cache warm —
+    # the host baseline subprocess runs the identical discipline, so the
+    # ratio stays like-for-like.
+    n_batch = 3
+    bcfg = CallConfig(genomes=None, db="bench", reads=[fastq] * n_batch,
+                      output=os.path.join(CACHE, "out_batch"))
+    batch_s = float("inf")
+    for _ in range(4):  # best-of-4 damps host/relay contention noise
+        t0 = time.time()
+        summaries = run_call(bcfg, index, dev)
+        batch_s = min(batch_s, time.time() - t0)
+
     # streamed single-sample latency: partitioned count->tally overlap
     scfg = CallConfig(db="bench", reads=[fastq],
                       output=os.path.join(CACHE, "out_stream"))
@@ -179,19 +195,6 @@ def _pipeline_main():
         t0 = time.time()
         run_call(scfg, index, dev)
         stream_s = min(stream_s, time.time() - t0)
-
-    # production batch mode: host counting of sample i+1 overlaps device
-    # mapping of sample i (run_call's prefetch pipeline). NOTE: the same
-    # FASTQ x3 keeps the host page cache warm — the host baseline subprocess
-    # runs the identical discipline, so the ratio stays like-for-like.
-    n_batch = 3
-    bcfg = CallConfig(genomes=None, db="bench", reads=[fastq] * n_batch,
-                      output=os.path.join(CACHE, "out_batch"))
-    batch_s = float("inf")
-    for _ in range(3):  # best-of-3 damps host-side contention noise
-        t0 = time.time()
-        summaries = run_call(bcfg, index, dev)
-        batch_s = min(batch_s, time.time() - t0)
     batch_reads = r["reads"] * len(summaries)
     reads_per_sec = batch_reads / batch_s
 

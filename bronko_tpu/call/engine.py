@@ -652,16 +652,24 @@ def _process_one_stream(
     pileup_fn = (pileup_from_saved_jit if dev.hist is not None
                  else pileup_from_saved_words_jit)
     pileup = jnp.zeros((4, dev.g_total_len + 1, 4), jnp.int32)
-    for kj, cj, ii_all, h_all, lt in parts:
+    if parts:
+        # ONE host sync for every partition's exact lane total, and ONE
+        # shared budget (their max): per-partition budgets cost a relay
+        # round-trip each AND can differ, splitting pass 2 across several
+        # executables (measured 1.9 s -> back under the non-streamed path's
+        # latency once the syncs collapse)
+        lts = np.asarray(jnp.stack([lt for *_, lt in parts]))
         gcfg = replace(
             mcfg,
             total_len=dev.g_total_len,
             max_bucket=dev.g_max_bucket,
-            lane_budget=_lane_class(int(np.asarray(lt)[best])),
+            lane_budget=_lane_class(int(lts[:, best].max())),
         )
-        pileup, _ov = pileup_fn(
-            kj, cj, ii_all, h_all, dev.offsets, post,
-            pileup, best_j, fbase, gcfg)
+        for kj, cj, ii_all, h_all, _lt in parts:
+            # exact budgets can't overflow, so the flag needs no retry loop
+            pileup, _ov = pileup_fn(
+                kj, cj, ii_all, h_all, dev.offsets, post,
+                pileup, best_j, fbase, gcfg)
     log.info("Scattered pileup in %.2fs", time.time() - t1)
 
     records, stats, seq_pileups = call_sample_variants(index, dev, cfg, best, pileup)

@@ -88,7 +88,8 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32]
         lib.bronko_counter_finalize_part.restype = ctypes.c_int64
         lib.bronko_counter_finalize_part.argtypes = [
-            ctypes.c_void_p, ctypes.c_int, ctypes.c_uint32, ctypes.c_uint32]
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_uint32,
+            ctypes.c_uint32]
         lib.bronko_counter_extract.restype = None
         lib.bronko_counter_extract.argtypes = [
             ctypes.c_void_p,
@@ -136,7 +137,11 @@ def native_count_fastq(path: str, k: int, min_count: int, count_cap: int,
         lib.bronko_counter_destroy(h)
 
 
-NATIVE_COUNT_PARTS = 8  # key-range partitions of the streaming finalize
+NATIVE_COUNT_PARTS = 4  # key-range partitions of the streaming finalize
+# (power of two in [1, 8]). Fewer, larger partitions win on the serving
+# relay: each partition pays a fixed h2d + dispatch latency, while the
+# overlap gain (device tallies partition p during the host sort of p+1)
+# saturates early; 4 keeps overlap granularity for larger samples.
 
 
 def native_count_fastq_stream(paths: list[str], k: int, min_count: int,
@@ -160,7 +165,7 @@ def native_count_fastq_stream(paths: list[str], k: int, min_count: int,
             unique_counted = 0
             for part in range(NATIVE_COUNT_PARTS):
                 n = int(lib.bronko_counter_finalize_part(
-                    h, part, min_count, count_cap))
+                    h, part, NATIVE_COUNT_PARTS, min_count, count_cap))
                 kmers = np.empty(n, np.uint64)
                 counts = np.empty(n, np.uint32)
                 if n:

@@ -597,14 +597,18 @@ int64_t bronko_counter_finalize(void* h, uint32_t ci, uint32_t cs) {
   return (int64_t)c->out_keys.size();
 }
 
-// Streaming variant: finalize ONE key-range partition (same partition
-// function as the parallel full finalize: top 3 used bits). The caller
-// extracts partition p and dispatches device work on it while partition
-// p+1 sorts on the host — count->map overlap for single-sample latency.
-// Partitions concatenated in order 0..7 equal the full finalize output.
-int64_t bronko_counter_finalize_part(void* h, int part, uint32_t ci, uint32_t cs) {
+// Streaming variant: finalize ONE of n_parts key-range partitions
+// (partition id = top log2(n_parts) used bits; n_parts a power of two in
+// [1, 8]). The caller extracts partition p and dispatches device work on it
+// while partition p+1 sorts on the host — count->map overlap for
+// single-sample latency. Partitions concatenated in order 0..n_parts-1
+// equal the full finalize output.
+int64_t bronko_counter_finalize_part(void* h, int part, int n_parts,
+                                     uint32_t ci, uint32_t cs) {
   auto* c = static_cast<Counter*>(h);
-  const int shift = 2 * c->k - 3;
+  int bits = 0;
+  while ((1 << bits) < n_parts) ++bits;
+  const int shift = 2 * c->k - bits;
   std::vector<std::pair<uint64_t, uint32_t>> items;
   for (auto& t : c->tables)
     for (size_t i = 0; i < t.keys.size(); ++i) {
