@@ -448,17 +448,20 @@ def _map_one(
     sharded: "ShardedMapper | None" = None,
     batches=None,
 ):
-    """Device phase of one sample: count results -> tallies -> selection ->
-    pileup dispatch. Returns (best, tallies, pileup) with the pileup still
-    on device — the host phase (_finish_one) can then run on a worker
-    thread while the NEXT sample's device work dispatches (the reference
-    overlaps nothing here; its call_variants is 1% of runtime on a thread
-    that has nothing else to do, call.rs:969). `batches` carries (kj, cj)
-    already device_put by the prefetch worker (upload overlapped with the
-    previous sample's device phase)."""
+    """Device phase of one sample. On the probe-reuse fast path this ONLY
+    dispatches pass 1 and returns a PendingMap of device handles — the
+    tallies sync, genome selection, and pass-2 dispatch happen on the
+    _finish_one worker thread, so the main loop never blocks on the device
+    (each relay round-trip otherwise idles the dispatch pipeline ~40 ms).
+    Other paths return (best, pileup, triple) with the pileup still on
+    device — the host phase then runs on the worker while the NEXT
+    sample's device work dispatches (the reference overlaps nothing here;
+    its call_variants is 1% of runtime on a thread that has nothing else
+    to do, call.rs:969). `batches` carries (kj, cj) already device_put by
+    the prefetch worker (upload overlapped with the previous sample's
+    device phase)."""
     t0 = time.time()
     mcfg = dev.map_config(cfg.n_fixed, cfg.use_full_kmer)
-    saved = None
     if len(mcfg.positions) == 0 or kmers.shape[0] == 0:
         kj = cj = None
         tallies = np.zeros((dev.num_genomes, 3), np.int64)
@@ -479,7 +482,12 @@ def _map_one(
         if (sharded is None and has_hist and dev.fid_grouped
                 and probe_bytes < 512 << 20):
             # probe-reuse fast path: pass 1 saves its probe so pass 2 needs
-            # no search of its own (single-word for G<=8, multi-word beyond)
+            # no search of its own (single-word for G<=8, multi-word beyond).
+            # ONLY the dispatch happens here — the tallies sync, genome
+            # selection, and the pass-2 dispatch run on the _finish_one
+            # worker thread, so the main loop never blocks on the device
+            # and the dispatch pipeline stays full across samples
+            # (~2 relay round-trips/sample otherwise).
             tj = jnp.zeros((dev.num_genomes, 3), jnp.int32)
             if dev.hist is not None:
                 tj, lane_tot, ii_all, h_all = tally_save_jit(
@@ -487,15 +495,69 @@ def _map_one(
             else:
                 tj, lane_tot, ii_all, h_all = tally_save_words_jit(
                     kj, cj, dev.keys, dev.offsets, dev.hist_words, tj, mcfg)
-            tallies = np.asarray(tj).astype(np.int64)
-            lane_totals = np.asarray(lane_tot)
-            saved = (ii_all, h_all)
+            return PendingMap(
+                kj=kj, cj=cj, tj=tj, lane_tot=lane_tot,
+                saved=(ii_all, h_all), mcfg=mcfg,
+                n_kmers=kmers.shape[0], cstats=cstats, t_start=t0)
         elif sharded is not None:
             tallies = sharded.run_tallies(kj, cj)
         else:
             tallies = run_tally_pass(kj, cj, dev, mcfg)
     log.info("Tallied %d kmers in %.2fs", kmers.shape[0], time.time() - t0)
 
+    best, triple = _select_and_log(tallies, index, dev, cstats)
+
+    t1 = time.time()
+    if kj is not None and sharded is None:
+        dev.ensure_subindex()  # fallback path needs the per-genome arrays
+    if kj is not None and sharded is not None:
+        # pass 2 sharded over the whole mesh (replicated sub-index,
+        # batch-parallel scatter, pmax/psum merge)
+        pileup = sharded.run_pileup(kj, cj, dev, best, mcfg,
+                                    n_kmers=kmers.shape[0])
+    elif kj is not None and dev.g_keys is not None:
+        pileup = run_pileup_pass(kj, cj, dev, best, mcfg, n_kmers=kmers.shape[0])
+    else:
+        pileup = jnp.zeros((4, dev.g_total_len + 1, 4), jnp.int32)
+    log.info("Scattered pileup in %.2fs", time.time() - t1)
+    return best, pileup, triple
+
+
+@dataclass
+class PendingMap:
+    """Fast-path device handles: pass 1 dispatched, everything else deferred
+    to the worker thread (resolve())."""
+    kj: object
+    cj: object
+    tj: object          # (G, 3) int32 device tallies
+    lane_tot: object    # (G,) int64 device exact pass-2 lane loads
+    saved: tuple        # (ii_all, h_all) probe artifacts on device
+    mcfg: object
+    n_kmers: int
+    cstats: CountStats
+    t_start: float
+
+    def resolve(self, index: BronkoIndex, dev: DeviceIndex, cfg: CallConfig):
+        """Sync pass 1, select the genome, dispatch pass 2 (exact budget).
+        Runs on the _finish_one worker while the main loop dispatches the
+        NEXT sample's pass 1."""
+        tallies = np.asarray(self.tj).astype(np.int64)
+        lane_totals = np.asarray(self.lane_tot)
+        log.info("Tallied %d kmers in %.2fs", self.n_kmers,
+                 time.time() - self.t_start)
+        best, triple = _select_and_log(tallies, index, dev, self.cstats)
+        t1 = time.time()
+        pileup = run_pileup_saved(
+            self.kj, self.cj, self.saved, dev, best, self.mcfg,
+            n_kmers=self.n_kmers, exact_lanes=int(lane_totals[best]))
+        log.info("Scattered pileup in %.2fs", time.time() - t1)
+        return best, pileup, triple
+
+
+def _select_and_log(tallies: np.ndarray, index: BronkoIndex, dev: DeviceIndex,
+                    cstats: CountStats) -> tuple[int, tuple[int, int, int]]:
+    """Genome selection + the reference's mapping-stat log lines
+    (call.rs:238-248)."""
     best = pick_best_genome(tallies, dev)
     if best is None:
         log.error("Unable to pick a best genome")
@@ -516,25 +578,7 @@ def _map_one(
             "Percent of kmers found is very low for this reference, suggesting lack of a "
             "representative reference, a bad sequencing run, contamination in sample, or some other issue"
         )
-
-    t1 = time.time()
-    if kj is not None and saved is None and sharded is None:
-        dev.ensure_subindex()  # fallback path needs the per-genome arrays
-    if kj is not None and sharded is not None:
-        # pass 2 sharded over the whole mesh (replicated sub-index,
-        # batch-parallel scatter, pmax/psum merge)
-        pileup = sharded.run_pileup(kj, cj, dev, best, mcfg,
-                                    n_kmers=kmers.shape[0])
-    elif kj is not None and saved is not None:
-        pileup = run_pileup_saved(kj, cj, saved, dev, best, mcfg,
-                                  n_kmers=kmers.shape[0],
-                                  exact_lanes=int(lane_totals[best]))
-    elif kj is not None and dev.g_keys is not None:
-        pileup = run_pileup_pass(kj, cj, dev, best, mcfg, n_kmers=kmers.shape[0])
-    else:
-        pileup = jnp.zeros((4, dev.g_total_len + 1, 4), jnp.int32)
-    log.info("Scattered pileup in %.2fs", time.time() - t1)
-    return best, pileup, (n_perfect, n_variant, n_unmapped)
+    return best, (n_perfect, n_variant, n_unmapped)
 
 
 def _finish_one(
@@ -542,13 +586,15 @@ def _finish_one(
     index: BronkoIndex,
     dev: DeviceIndex,
     cfg: CallConfig,
-    best: int,
-    pileup,
-    tally_triple: tuple[int, int, int],
+    result,
 ) -> tuple[SampleSummary, tuple[str, list[VCFRecord]]]:
-    """Host phase of one sample: noise scan + filter cascade (f64) + output
-    writes. Runs on a worker thread overlapped with the next sample's
-    device phase."""
+    """Host phase of one sample: resolve the deferred device work (fast
+    path), then noise scan + filter cascade (f64) + output writes. Runs on
+    a worker thread overlapped with the next sample's device phase."""
+    if isinstance(result, PendingMap):
+        best, pileup, tally_triple = result.resolve(index, dev, cfg)
+    else:
+        best, pileup, tally_triple = result
     n_perfect, n_variant, n_unmapped = tally_triple
     records, stats, seq_pileups = call_sample_variants(index, dev, cfg, best, pileup)
 
@@ -826,16 +872,16 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
                     with open(dump, "w") as fh:
                         for km, ct in zip(kmers.tolist(), counts.tolist()):
                             fh.write(f"{kmer_to_string(km, index.k)}\t{ct}\n")
-                best, pileup, triple = _map_one(
+                result = _map_one(
                     display, kmers, counts, cstats, index, dev, cfg, sharded,
                     batches=batches)
-                # host phase (noise scan + caller + writes) overlaps the
-                # NEXT sample's device phase; <=2 in flight bounds the live
-                # device pileups
+                # device syncs + pass-2 dispatch (fast path) + host phase
+                # (noise scan + caller + writes) overlap the NEXT sample's
+                # device phase; <=2 in flight bounds the live device pileups
                 if len(call_futs) >= 2:
                     _fwait([call_futs[-2][1]])
                 call_futs.append((display, call_pool.submit(
-                    _finish_one, display, index, dev, cfg, best, pileup, triple)))
+                    _finish_one, display, index, dev, cfg, result)))
             except SystemExit:
                 raise
             except Exception:  # noqa: BLE001 — per-sample isolation
