@@ -70,22 +70,30 @@ def _ensure_data():
                 write_fasta(p, f"synth{g}", make_genome(rng, 29_900))
             genome_paths.append(p)
 
-    fastq = os.path.join(CACHE, f"deep_{N_READS}.fastq.gz")
-    if not os.path.exists(fastq):
-        from bronko_tpu.io.fasta import read_fasta
+    # three DISTINCT samples (different read draws + planted variants) so
+    # batch mode measures a real cohort, not a page-cache-warm re-read of
+    # one file; identical N_READS/depth keeps batch shapes (and therefore
+    # compiled executables) shared across samples
+    fastqs = []
+    from bronko_tpu.io.fasta import read_fasta
 
-        genome = read_fasta(genome_paths[0])[0].seq.upper()
-        L = len(genome)
+    genome = read_fasta(genome_paths[0])[0].seq.upper()
+    L = len(genome)
+    depth = N_READS * READ_LEN // L
+    for s in range(3):
+        fastq = os.path.join(CACHE, f"deep_{N_READS}_s{s}.fastq.gz")
+        fastqs.append(fastq)
+        if os.path.exists(fastq):
+            continue
         majors = {int(p): 0.9 for p in rng.integers(1000, L - 1000, 8)}
         minors = {int(p): float(f) for p, f in zip(
             rng.integers(1000, L - 1000, 12), 0.05 + 0.2 * rng.random(12))}
-        depth = N_READS * READ_LEN // L
         reads, _ = make_sample(
             genome, rng, read_len=READ_LEN, depth=depth,
             major_positions=majors, minor_positions=minors, error_rate=0.003,
         )
         write_fastq(fastq, reads[:N_READS])
-    return genome_paths, fastq
+    return genome_paths, fastqs
 
 
 def _single_sample_run(index, dev, cfg, fastq):
@@ -146,7 +154,8 @@ def _single_sample_run(index, dev, cfg, fastq):
 
 def _pipeline_main():
     """Shared body for the in-process TPU run and the --host-baseline run."""
-    genome_paths, fastq = _ensure_data()
+    genome_paths, fastqs = _ensure_data()
+    fastq = fastqs[0]
 
     import bronko_tpu  # noqa: F401
     import jax
@@ -171,14 +180,15 @@ def _pipeline_main():
     r = _single_sample_run(index, dev, cfg, fastq)     # steady state
 
     # production batch mode: host counting of sample i+1 overlaps device
-    # mapping of sample i (run_call's prefetch pipeline). Measured BEFORE the
-    # streamed runs: streaming's per-partition donated buffers fragment HBM
-    # through the serving relay and were observed to slow subsequent batch
-    # allocations. NOTE: the same FASTQ x3 keeps the host page cache warm —
-    # the host baseline subprocess runs the identical discipline, so the
-    # ratio stays like-for-like.
-    n_batch = 3
-    bcfg = CallConfig(genomes=None, db="bench", reads=[fastq] * n_batch,
+    # mapping of sample i (run_call's prefetch pipeline) over THREE DISTINCT
+    # samples (different reads + planted variants; page cache warm either
+    # way after the warm lap — the host baseline subprocess runs the
+    # identical discipline, so the ratio stays like-for-like). Measured
+    # BEFORE the streamed runs: streaming's per-partition donated buffers
+    # fragment HBM through the serving relay and were observed to slow
+    # subsequent batch allocations.
+    n_batch = len(fastqs)
+    bcfg = CallConfig(genomes=None, db="bench", reads=list(fastqs),
                       output=os.path.join(CACHE, "out_batch"))
     batch_s = float("inf")
     for _ in range(4):  # best-of-4 damps host/relay contention noise
@@ -249,7 +259,8 @@ def host_baseline_mode() -> None:
 def scale_proxy_mode() -> None:
     """CPU-mesh scaling proxy: the product ShardedMapper (tally + pileup)
     at 1 vs 8 virtual devices on the same counted k-mer workload."""
-    genome_paths, fastq = _ensure_data()
+    genome_paths, fastqs = _ensure_data()
+    fastq = fastqs[0]
 
     import bronko_tpu  # noqa: F401
     import jax
