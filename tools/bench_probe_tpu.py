@@ -27,6 +27,7 @@ def main() -> None:
     import bench
 
     genome_paths, fastq = bench._ensure_data()
+    fastq = fastq[0]  # _ensure_data returns the 3-sample cohort
 
     import jax
     import jax.numpy as jnp
