@@ -18,6 +18,7 @@ The TPU pipeline equivalent of call() (call.rs:151-402):
 from __future__ import annotations
 
 import logging
+import os
 import time
 from dataclasses import dataclass
 
@@ -57,13 +58,15 @@ def _read_chunks(path: str, cfg: CallConfig):
     return read_fastq_chunks(path, cfg.chunk_reads), None
 
 
-def count_sample(path: str, cfg: CallConfig, k: int) -> tuple[np.ndarray, np.ndarray, CountStats]:
+def count_sample(path: str, cfg: CallConfig, k: int,
+                 threads: int | None = None) -> tuple[np.ndarray, np.ndarray, CountStats]:
     """Count one sample's read k-mers.
 
     Counter selection (cfg.counter): 'host' = C++ streaming hash counter —
     IO-optimal, ships only unique k-mers to the device; 'device' = the
     TPU-native sort-based counter; 'auto' = host when the native lib is
-    available."""
+    available. `threads` overrides cfg.threads (the batch prefetcher splits
+    the budget across concurrently-counted samples)."""
     if cfg.counter in ("auto", "host"):
         try:
             from bronko_tpu.io.native import get_lib, native_count_fastq
@@ -73,7 +76,7 @@ def count_sample(path: str, cfg: CallConfig, k: int) -> tuple[np.ndarray, np.nda
 
                 kmers, counts, st = native_count_fastq(
                     path, k, cfg.min_kmers, KMER_COUNT_CAP,
-                    threads=max(1, cfg.threads))
+                    threads=max(1, threads or cfg.threads))
                 return kmers, counts, CountStats(**st)
         except Exception as e:  # noqa: BLE001
             if cfg.counter == "host":
@@ -591,7 +594,7 @@ def _finish_one(
     """Host phase of one sample: resolve the deferred device work (fast
     path), then noise scan + filter cascade (f64) + output writes. Runs on
     a worker thread overlapped with the next sample's device phase."""
-    if isinstance(result, PendingMap):
+    if isinstance(result, (PendingMap, PendingStream)):
         best, pileup, tally_triple = result.resolve(index, dev, cfg)
     else:
         best, pileup, tally_triple = result
@@ -614,24 +617,71 @@ def _finish_one(
 
 
 
-def _process_one_stream(
-    display_path: str,
+@dataclass
+class PendingStream:
+    """Streamed-pass-1 device handles: per-partition tally dispatches done,
+    tallies sync + genome selection + pass-2 dispatch deferred to the
+    worker thread (resolve()), exactly like PendingMap."""
+    tj: object          # (G, 3) int32 device tallies (all partitions)
+    parts: list         # [(kj, cj, ii_all, h_all, lane_tot)] device arrays
+    mcfg: object
+    n_kmers: int
+    cstats: CountStats
+    t_start: float
+
+    def resolve(self, index: BronkoIndex, dev: DeviceIndex, cfg: CallConfig):
+        from dataclasses import replace
+
+        tallies = np.asarray(self.tj).astype(np.int64)
+        log.info("Tallied %d kmers in %.2fs (streamed)", self.n_kmers,
+                 time.time() - self.t_start)
+        best, triple = _select_and_log(tallies, index, dev, self.cstats)
+
+        t1 = time.time()
+        best_j = jnp.int32(best)
+        fbase = jnp.int32(int(dev.file_bases[best]))
+        post = (dev.postings_local32 if dev.postings_local32 is not None
+                else dev.postings)
+        pileup_fn = (pileup_from_saved_jit if dev.hist is not None
+                     else pileup_from_saved_words_jit)
+        pileup = jnp.zeros((4, dev.g_total_len + 1, 4), jnp.int32)
+        if self.parts:
+            # ONE host sync for every partition's exact lane total, and ONE
+            # shared budget (their max): per-partition budgets cost a relay
+            # round-trip each AND can differ, splitting pass 2 across
+            # several executables (measured 1.9 s -> back under the
+            # non-streamed path's latency once the syncs collapse)
+            lts = np.asarray(jnp.stack([lt for *_, lt in self.parts]))
+            gcfg = replace(
+                self.mcfg,
+                total_len=dev.g_total_len,
+                max_bucket=dev.g_max_bucket,
+                lane_budget=_lane_class(int(lts[:, best].max())),
+            )
+            for kj, cj, ii_all, h_all, _lt in self.parts:
+                # exact budgets can't overflow: the flag needs no retry loop
+                pileup, _ov = pileup_fn(
+                    kj, cj, ii_all, h_all, dev.offsets, post,
+                    pileup, best_j, fbase, gcfg)
+        log.info("Scattered pileup in %.2fs", time.time() - t1)
+        return best, pileup, triple
+
+
+def _stream_pass1(
     paths: list[str],
     index: BronkoIndex,
     dev: DeviceIndex,
     cfg: CallConfig,
-) -> tuple[SampleSummary, tuple[str, list[VCFRecord]]]:
-    """Single-sample streaming path (VERDICT r1 item 10): the C++ counter
-    finalizes one key-range partition at a time; each partition's tally
-    dispatch is asynchronous, so the device tallies partition p while the
-    host sorts/uploads partition p+1 — count and map overlap instead of
-    running back-to-back. Tallies and the pileup chain through donated
-    device buffers; the only host syncs are the final tallies read and the
-    per-partition lane totals (scalars). Byte-identical to the non-streaming
-    path: partitions cover disjoint sorted key ranges, and scatter-add/max
-    are order-independent."""
-    from dataclasses import replace
-
+    threads: int | None = None,
+) -> PendingStream:
+    """Streamed count->tally (VERDICT r1 item 10): the C++ counter finalizes
+    one key-range partition at a time; each partition's tally dispatch is
+    asynchronous, so the device tallies partition p while the host
+    sorts/uploads partition p+1 — count and map overlap instead of running
+    back-to-back. Tallies chain through donated device buffers; no host
+    sync happens here at all (PendingStream.resolve does them on the worker
+    thread). Byte-identical to the non-streaming path: partitions cover
+    disjoint sorted key ranges, and scatter-add/max are order-independent."""
     from bronko_tpu.consts import KMER_COUNT_CAP
     from bronko_tpu.io.native import native_count_fastq_stream
 
@@ -643,7 +693,7 @@ def _process_one_stream(
     n_kmers = 0
     for kmers, counts, stats in native_count_fastq_stream(
             paths, index.k, cfg.min_kmers, KMER_COUNT_CAP,
-            threads=max(1, cfg.threads)):
+            threads=max(1, threads or cfg.threads)):
         if stats is not None:
             stats_sum = CountStats(**{
                 f: getattr(stats_sum, f) + stats[f]
@@ -661,74 +711,29 @@ def _process_one_stream(
                 kj, cj, dev.keys, dev.offsets, dev.hist_words, tj, mcfg)
         parts.append((kj, cj, ii_all, h_all, lt))
 
-    cstats = stats_sum
-    tallies = np.asarray(tj).astype(np.int64)
-    log.info("%d reads counted from %s", cstats.total_reads, display_path)
+    log.info("%d reads counted from %s (streamed)",
+             stats_sum.total_reads, paths[0])
     log.info(
         "%d unique kmers above %d count, %d total unique kmers, "
-        "%d total kmers (~%d basepairs); tallied %d kmers in %.2fs (streamed)",
-        cstats.unique_counted_kmers, cfg.min_kmers, cstats.unique_kmers,
-        cstats.total_kmers, cstats.total_kmers * index.k, n_kmers,
+        "%d total kmers (~%d basepairs); dispatched in %.2fs",
+        stats_sum.unique_counted_kmers, cfg.min_kmers, stats_sum.unique_kmers,
+        stats_sum.total_kmers, stats_sum.total_kmers * index.k,
         time.time() - t0,
     )
-    best = pick_best_genome(tallies, dev)
-    if best is None:
-        log.error("Unable to pick a best genome")
-        raise RuntimeError("Unable to pick a best genome")
-    n_perfect, n_variant, n_unique = (int(x) for x in tallies[best])
-    best_name = index.files[best].name
-    log.info("Selected a representative genome: %s", best_name)
-    n_unmapped = cstats.unique_counted_kmers - n_perfect - n_variant
-    log.info(
-        "Mapped %d/%d kmers perfectly (%d unique among refs), %d/%d had a variant, %d unmapped",
-        n_perfect, cstats.unique_counted_kmers, n_unique,
-        n_variant, cstats.unique_counted_kmers, n_unmapped,
-    )
-    if cstats.unique_counted_kmers and (n_variant + n_perfect) / cstats.unique_counted_kmers < 0.2:
-        log.warning(
-            "Percent of kmers found is very low for this reference, suggesting lack of a "
-            "representative reference, a bad sequencing run, contamination in sample, or some other issue"
-        )
+    return PendingStream(tj=tj, parts=parts, mcfg=mcfg, n_kmers=n_kmers,
+                         cstats=stats_sum, t_start=t0)
 
-    t1 = time.time()
-    best_j = jnp.int32(best)
-    fbase = jnp.int32(int(dev.file_bases[best]))
-    post = (dev.postings_local32 if dev.postings_local32 is not None
-            else dev.postings)
-    pileup_fn = (pileup_from_saved_jit if dev.hist is not None
-                 else pileup_from_saved_words_jit)
-    pileup = jnp.zeros((4, dev.g_total_len + 1, 4), jnp.int32)
-    if parts:
-        # ONE host sync for every partition's exact lane total, and ONE
-        # shared budget (their max): per-partition budgets cost a relay
-        # round-trip each AND can differ, splitting pass 2 across several
-        # executables (measured 1.9 s -> back under the non-streamed path's
-        # latency once the syncs collapse)
-        lts = np.asarray(jnp.stack([lt for *_, lt in parts]))
-        gcfg = replace(
-            mcfg,
-            total_len=dev.g_total_len,
-            max_bucket=dev.g_max_bucket,
-            lane_budget=_lane_class(int(lts[:, best].max())),
-        )
-        for kj, cj, ii_all, h_all, _lt in parts:
-            # exact budgets can't overflow, so the flag needs no retry loop
-            pileup, _ov = pileup_fn(
-                kj, cj, ii_all, h_all, dev.offsets, post,
-                pileup, best_j, fbase, gcfg)
-    log.info("Scattered pileup in %.2fs", time.time() - t1)
 
-    records, stats, seq_pileups = call_sample_variants(index, dev, cfg, best, pileup)
-    from bronko_tpu.parallel.distributed import is_primary
-
-    if is_primary():
-        if cfg.output_pileup:
-            write_pileup(cfg.output, display_path, index.files[best], seq_pileups)
-        write_vcf(cfg.output, display_path, records, index.files[best])
-    summary = SampleSummary(
-        display_path, best_name, stats, n_perfect, n_variant, n_unmapped
-    )
-    return summary, (display_path, records)
+def _process_one_stream(
+    display_path: str,
+    paths: list[str],
+    index: BronkoIndex,
+    dev: DeviceIndex,
+    cfg: CallConfig,
+) -> tuple[SampleSummary, tuple[str, list[VCFRecord]]]:
+    """Single-sample streaming path: streamed pass 1 + in-place finish."""
+    return _finish_one(display_path, index, dev, cfg,
+                       _stream_pass1(paths, index, dev, cfg))
 
 
 def _can_stream(cfg: CallConfig, dev: DeviceIndex, sharded) -> bool:
@@ -736,6 +741,8 @@ def _can_stream(cfg: CallConfig, dev: DeviceIndex, sharded) -> bool:
     host count anyway (single job), the probe-reuse fast path applies, and
     no full k-mer dump is requested."""
     if sharded is not None or cfg.keep_kmer_counts or cfg.counter == "device":
+        return False
+    if os.environ.get("BRONKO_NO_STREAM"):  # debug/A-B override
         return False
     if (dev.hist is None and dev.hist_words is None) or not dev.fid_grouped:
         return False
@@ -748,7 +755,7 @@ def _can_stream(cfg: CallConfig, dev: DeviceIndex, sharded) -> bool:
 
 
 def _count_job(paths: list[str], cfg: CallConfig, k: int,
-               upload: bool = False):
+               upload: bool = False, threads: int | None = None):
     """Count one sample (single-end: [r]; paired: [r1, r2] concatenated —
     semantics identical to the reference's two map_kmers passes into shared
     pileups, call.rs:301-320).
@@ -759,7 +766,7 @@ def _count_job(paths: list[str], cfg: CallConfig, k: int,
     instead of serializing ahead of this sample's tally dispatch (measured
     ~0.08-0.13 s/sample through the 18 MB/s serving tunnel,
     tools/bench_h2d_tpu.py)."""
-    parts = [count_sample(p, cfg, k) for p in paths]
+    parts = [count_sample(p, cfg, k, threads=threads) for p in paths]
     kmers = np.concatenate([p[0] for p in parts])
     counts = np.concatenate([p[1] for p in parts])
     cstats = CountStats(
@@ -775,7 +782,6 @@ def _count_job(paths: list[str], cfg: CallConfig, k: int,
 
 
 def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[SampleSummary]:
-    import os
     from concurrent.futures import ThreadPoolExecutor
 
     from bronko_tpu.utils.memory import log_memory_usage
@@ -809,9 +815,16 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
 
     # host counting (C++, GIL-free) prefetches upcoming samples while the
     # device maps the current one — the reference's rayon-join concurrency
-    # (call.rs:301-307) generalized across the sample stream. Submission is
-    # bounded (<= 2 ahead) so counted k-mer arrays don't pile up in memory
-    # on large cohorts.
+    # (call.rs:301-307) generalized across the sample stream. ONE count at a
+    # time with the full thread budget: counts in isolation finish ~20%
+    # faster when two run concurrently with the budget split (the one-shot
+    # inflate is the single-threaded section), but in the REAL pipeline the
+    # count already hides behind the previous sample's device work, and the
+    # split starves the jax dispatch + variant-call threads on a 4-core
+    # host (interleaved TPU A/B: 1-worker 2.97-3.14 s vs 2-worker
+    # 3.23-3.39 s for the 3-sample cohort). BRONKO_COUNT_WORKERS overrides
+    # for wider hosts. Submission is bounded (<= workers+1 ahead) so
+    # counted k-mer arrays don't pile up in memory on large cohorts.
     mcfg0 = dev.map_config(cfg.n_fixed, cfg.use_full_kmer)
     if (len(jobs) == 1 and len(mcfg0.positions) > 0
             and _can_stream(cfg, dev, sharded)):
@@ -836,7 +849,26 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
 
     from concurrent.futures import wait as _fwait
 
-    with ThreadPoolExecutor(max_workers=1) as pool, \
+    count_workers = max(1, int(os.environ.get("BRONKO_COUNT_WORKERS", "1")))
+    count_threads = max(1, cfg.threads // count_workers)
+
+    # pipeline-fill cut (opt-in): on a cohort, every sample's count hides
+    # behind the PREVIOUS sample's device work — except the first, so
+    # streaming the first sample's count->tally (partitioned overlap) can
+    # fill the pipeline. Through the axon serving relay this LOSES: the
+    # per-partition tally dispatches each pay the relay's dispatch latency,
+    # which exceeds the ~0.5 s count being hidden (fresh-process TPU A/B on
+    # the 3-sample bench cohort: classic best 2.13 s vs streamed-first best
+    # 2.62 s). Default off; BRONKO_STREAM_FIRST=1 enables it for
+    # directly-attached TPU hosts where dispatch latency is microseconds.
+    stream_first: list[str] | None = None
+    if (os.environ.get("BRONKO_STREAM_FIRST")
+            and len(jobs_iter) > 1 and len(mcfg0.positions) > 0
+            and _can_stream(cfg, dev, sharded)):
+        stream_first = jobs_iter[0]
+        jobs_iter = jobs_iter[1:]
+
+    with ThreadPoolExecutor(max_workers=count_workers) as pool, \
             ThreadPoolExecutor(max_workers=1) as call_pool:
         futures: list = []
         call_futs: list[tuple[str, object]] = []
@@ -845,10 +877,26 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
             while len(futures) < min(upto, len(jobs_iter)):
                 futures.append(pool.submit(
                     _count_job, jobs_iter[len(futures)], cfg, index.k,
-                    sharded is None))
+                    sharded is None, count_threads))
+
+        if stream_first is not None:
+            display = stream_first[0]
+            label = (display if len(stream_first) == 1
+                     else f"{stream_first[0]}, {stream_first[1]}")
+            log.info("Processing %s (streamed)", label)
+            try:
+                result = _stream_pass1(stream_first, index, dev, cfg)
+                call_futs.append((display, call_pool.submit(
+                    _finish_one, display, index, dev, cfg, result)))
+            except SystemExit:
+                raise
+            except Exception:  # noqa: BLE001 — per-sample isolation
+                log.exception(
+                    "Sample %s failed; continuing with remaining samples", label)
+                failures.append(display)
 
         for ji, job in enumerate(jobs_iter):
-            _ensure_submitted(ji + 2)
+            _ensure_submitted(ji + 1 + count_workers)
             fut = futures[ji]
             display = job[0]
             label = display if len(job) == 1 else f"{job[0]}, {job[1]}"

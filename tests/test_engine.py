@@ -196,6 +196,32 @@ def test_streaming_single_sample_byte_identical(synth):
             open(os.path.join(out_b, fname)).read(), fname
 
 
+def test_batch_streamed_first_byte_identical(synth, tmp_path, monkeypatch):
+    """BRONKO_STREAM_FIRST=1 streams the FIRST sample's count->tally on
+    multi-sample cohorts (pipeline-fill cut, opt-in — loses through the
+    high-latency relay, wins on directly-attached hosts); outputs must be
+    byte-identical to the pure prefetch path (keep_kmer_counts disables
+    streaming)."""
+    from bronko_tpu.io.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native counter unavailable")
+    tmp, ref, fq, genome, alts = synth
+    index = build_index(21, [ref])
+    dev = build_device_index(index)
+    out_s = str(tmp_path / "bs")
+    out_b = str(tmp_path / "bb")
+    monkeypatch.setenv("BRONKO_STREAM_FIRST", "1")
+    run_call(small_cfg(genomes=[ref], reads=[fq, fq], output=out_s,
+                       output_pileup=True), index, dev)
+    monkeypatch.delenv("BRONKO_STREAM_FIRST")
+    run_call(small_cfg(genomes=[ref], reads=[fq, fq], output=out_b,
+                       output_pileup=True, keep_kmer_counts=True), index, dev)
+    for fname in ("samp.vcf", "bronko_overview.tsv", "samp.tsv"):
+        assert open(os.path.join(out_s, fname)).read() == \
+            open(os.path.join(out_b, fname)).read(), fname
+
+
 def test_streaming_paired_byte_identical(synth, tmp_path):
     """Paired-end streamed run == paired non-streamed run (per-mate
     separate counting semantics preserved)."""
