@@ -114,7 +114,7 @@ def _prepare_batches(kmers: np.ndarray, counts: np.ndarray, B: int,
                      upload: bool = True, multiple: int = 1):
     """Batch the k-mer stream with shape-stable padding; returns (kj, cj)
     shaped (nb, B_eff). Samples that fit one batch get a TIGHT width from
-    the {2^m, 1.5*2^m} class ladder (measured: a 155k-kmer sample padded to
+    the quarter-octave class ladder (measured: a 155k-kmer sample padded to
     the fixed 262k batch wastes 41% of every probe/gather/sort lane);
     larger samples use a power-of-two count of full-size batches. Class
     widths are multiples of `multiple` (the mesh device count). With
@@ -284,13 +284,18 @@ class ShardedMapper:
 
 
 def _lane_class(n: int, floor: int = 1 << 16, multiple: int = 1) -> int:
-    """Smallest size of the form 2^m or 1.5*2^m covering n (and divisible
-    by `multiple`). Two jit variants per octave bound recompiles while
-    capping overshoot at 33% (a plain pow2 ceiling wastes up to 2x work)."""
+    """Smallest size of the form {1, 1.25, 1.5, 1.75}*2^m covering n (and
+    divisible by `multiple`). Four jit variants per octave bound recompiles
+    while capping overshoot at 25% (a plain pow2 ceiling wastes up to 2x
+    work; the earlier half-octave ladder {1, 1.5} padded the 155k-kmer
+    bench sample 27% — to 196,608 — and every probe/sort/scatter lane in
+    both passes pays the pad, measured ~11% of device map time)."""
     n = max(int(n), floor, multiple)
     p = 1 << (n - 1).bit_length()
-    three_q = (p >> 1) + (p >> 2)  # 1.5 * 2^(m-1)
-    for cand in (three_q, p, p + (p >> 1), p << 1):
+    h = p >> 1
+    for cand in (h + (h >> 2), h + (h >> 1), h + (h >> 1) + (h >> 2),
+                 p, p + (p >> 2), p + (p >> 1), p + (p >> 1) + (p >> 2),
+                 p << 1):
         if cand >= n and cand % multiple == 0:
             return cand
     return -(-n // multiple) * multiple
