@@ -59,14 +59,17 @@ def _read_chunks(path: str, cfg: CallConfig):
 
 
 def count_sample(path: str, cfg: CallConfig, k: int,
-                 threads: int | None = None) -> tuple[np.ndarray, np.ndarray, CountStats]:
+                 threads: int | None = None,
+                 text=None) -> tuple[np.ndarray, np.ndarray, CountStats]:
     """Count one sample's read k-mers.
 
     Counter selection (cfg.counter): 'host' = C++ streaming hash counter —
     IO-optimal, ships only unique k-mers to the device; 'device' = the
     TPU-native sort-based counter; 'auto' = host when the native lib is
     available. `threads` overrides cfg.threads (the batch prefetcher splits
-    the budget across concurrently-counted samples)."""
+    the budget across concurrently-counted samples). `text` is an already-
+    inflated buffer from the engine's inflate-ahead worker (native path
+    only; closed by the counter)."""
     if cfg.counter in ("auto", "host"):
         try:
             from bronko_tpu.io.native import get_lib, native_count_fastq
@@ -76,7 +79,7 @@ def count_sample(path: str, cfg: CallConfig, k: int,
 
                 kmers, counts, st = native_count_fastq(
                     path, k, cfg.min_kmers, KMER_COUNT_CAP,
-                    threads=max(1, threads or cfg.threads))
+                    threads=max(1, threads or cfg.threads), text=text)
                 return kmers, counts, CountStats(**st)
         except Exception as e:  # noqa: BLE001
             if cfg.counter == "host":
@@ -760,7 +763,8 @@ def _can_stream(cfg: CallConfig, dev: DeviceIndex, sharded) -> bool:
 
 
 def _count_job(paths: list[str], cfg: CallConfig, k: int,
-               upload: bool = False, threads: int | None = None):
+               upload: bool = False, threads: int | None = None,
+               texts: list | None = None):
     """Count one sample (single-end: [r]; paired: [r1, r2] concatenated —
     semantics identical to the reference's two map_kmers passes into shared
     pileups, call.rs:301-320).
@@ -770,8 +774,12 @@ def _count_job(paths: list[str], cfg: CallConfig, k: int,
     host->device link while the PREVIOUS sample's device passes run,
     instead of serializing ahead of this sample's tally dispatch (measured
     ~0.08-0.13 s/sample through the 18 MB/s serving tunnel,
-    tools/bench_h2d_tpu.py)."""
-    parts = [count_sample(p, cfg, k, threads=threads) for p in paths]
+    tools/bench_h2d_tpu.py). `texts` are inflate-ahead futures, one per
+    path: the single-threaded gzip inflate of THIS sample ran on the
+    dedicated inflate worker while the previous sample parsed/counted."""
+    parts = [count_sample(p, cfg, k, threads=threads,
+                          text=texts[i].result() if texts else None)
+             for i, p in enumerate(paths)]
     kmers = np.concatenate([p[0] for p in parts])
     counts = np.concatenate([p[1] for p in parts])
     cstats = CountStats(
@@ -873,16 +881,34 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
         stream_first = jobs_iter[0]
         jobs_iter = jobs_iter[1:]
 
+    # inflate-ahead worker: read+inflate upcoming samples' gzip on a
+    # dedicated thread (the inflate is the count's single-threaded section,
+    # ~30% of it) so it overlaps the current sample's parse/count. Lookahead
+    # is bounded by the job-submission bound below (<= workers+1 jobs ahead
+    # -> ~2-3 inflated buffers live).
+    use_inflate_ahead = False
+    if cfg.counter in ("auto", "host"):
+        try:
+            from bronko_tpu.io.native import get_lib, native_read_inflate
+
+            use_inflate_ahead = get_lib() is not None
+        except Exception:  # noqa: BLE001
+            pass
+
     with ThreadPoolExecutor(max_workers=count_workers) as pool, \
-            ThreadPoolExecutor(max_workers=1) as call_pool:
+            ThreadPoolExecutor(max_workers=1) as call_pool, \
+            ThreadPoolExecutor(max_workers=1) as inflate_pool:
         futures: list = []
         call_futs: list[tuple[str, object]] = []
 
         def _ensure_submitted(upto: int) -> None:
             while len(futures) < min(upto, len(jobs_iter)):
+                job = jobs_iter[len(futures)]
+                texts = ([inflate_pool.submit(native_read_inflate, p)
+                          for p in job] if use_inflate_ahead else None)
                 futures.append(pool.submit(
-                    _count_job, jobs_iter[len(futures)], cfg, index.k,
-                    sharded is None, count_threads))
+                    _count_job, job, cfg, index.k,
+                    sharded is None, count_threads, texts))
 
         if stream_first is not None:
             display = stream_first[0]

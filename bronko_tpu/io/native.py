@@ -96,12 +96,56 @@ def get_lib():
             np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
         ]
+        lib.bronko_read_inflate.restype = ctypes.c_void_p
+        lib.bronko_read_inflate.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
+        lib.bronko_buffer_data.restype = ctypes.c_void_p
+        lib.bronko_buffer_data.argtypes = [ctypes.c_void_p]
+        lib.bronko_buffer_free.restype = None
+        lib.bronko_buffer_free.argtypes = [ctypes.c_void_p]
+        lib.bronko_counter_count_text.restype = ctypes.c_int
+        lib.bronko_counter_count_text.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
         _lib = lib
         return _lib
 
 
+class InflatedText:
+    """Opaque handle to a C++-owned inflated FASTQ text buffer
+    (bronko_read_inflate). `handle is None` marks fallback: the file was
+    over the whole-buffer cap or the read failed — count from the path."""
+
+    def __init__(self, handle, size: int):
+        self.handle = handle
+        self.size = size
+
+    def close(self):
+        if self.handle is not None:
+            get_lib().bronko_buffer_free(self.handle)
+            self.handle = None
+
+    def __del__(self):  # backstop; the engine closes explicitly
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
+
+
+def native_read_inflate(path: str) -> InflatedText:
+    """Read + inflate one FASTQ on the calling thread (GIL released inside
+    the C call) so the engine can overlap sample i+1's single-threaded
+    inflate with sample i's multi-threaded parse/count."""
+    lib = get_lib()
+    assert lib is not None
+    size = ctypes.c_int64()
+    h = lib.bronko_read_inflate(path.encode(), ctypes.byref(size))
+    if h is None:
+        return InflatedText(None, int(size.value))
+    return InflatedText(h, int(size.value))
+
+
 def native_count_fastq(path: str, k: int, min_count: int, count_cap: int,
-                       threads: int = 4):
+                       threads: int = 4, text: InflatedText | None = None):
     """Count a FASTQ file's k-mers entirely in C++ (multithreaded pipeline).
 
     Returns (kmers u64 sorted, counts int64, stats dict). Matches KMC -b
@@ -110,13 +154,21 @@ def native_count_fastq(path: str, k: int, min_count: int, count_cap: int,
     `threads` is the TOTAL thread budget. The C++ side picks the split:
     whole-buffer front end (one-shot libdeflate/zlib inflate, then parse+
     count on ALL threads) for ordinary files; reader + threads-1 counters
-    for the streaming large-file fallback.
+    for the streaming large-file fallback. `text` (from
+    native_read_inflate) skips the read+inflate; it is closed here.
     """
     lib = get_lib()
     assert lib is not None
     h = lib.bronko_counter_create(k, max(1, threads))
     try:
-        rc = lib.bronko_counter_count_fastq(h, path.encode())
+        if text is not None and text.handle is not None:
+            try:
+                rc = lib.bronko_counter_count_text(
+                    h, lib.bronko_buffer_data(text.handle), text.size)
+            finally:
+                text.close()
+        else:
+            rc = lib.bronko_counter_count_fastq(h, path.encode())
         if rc == -1:
             raise OSError(f"cannot open {path}")
         if rc != 0:

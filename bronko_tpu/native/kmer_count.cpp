@@ -368,27 +368,13 @@ int64_t parse_count(Counter* c, Table& t, int64_t& nk,
   return reads;
 }
 
-int count_wholebuf(Counter* c, const char* path, size_t fsize) {
-  std::vector<char> in(fsize);
-  {
-    FILE* f = fopen(path, "rb");
-    if (!f) return -1;
-    size_t got = fread(in.data(), 1, fsize, f);
-    fclose(f);
-    in.resize(got);
-  }
-  std::vector<char> text;
-  if (is_gzip(in)) {
-    if (!inflate_all(in, text)) return -2;
-    std::vector<char>().swap(in);  // release compressed bytes
-  } else {
-    text = std::move(in);
-  }
-  if (text.empty()) return 0;
+// Parse + count an already-inflated FASTQ text buffer (the whole-buffer
+// back end). The buffer is only read; the caller keeps ownership.
+int count_text(Counter* c, const char* text, size_t size) {
+  if (size == 0) return 0;
 
   const int n_slices = c->n_threads * 8;
-  std::vector<const char*> cuts =
-      record_cuts(text.data(), text.data() + text.size(), n_slices);
+  std::vector<const char*> cuts = record_cuts(text, text + size, n_slices);
 
   std::atomic<int> next{0};
   std::atomic<bool> malformed{false};
@@ -413,6 +399,32 @@ int count_wholebuf(Counter* c, const char* path, size_t fsize) {
   if (malformed.load()) return -2;
   for (int64_t r : reads_per_thread) c->total_reads += r;
   return 0;
+}
+
+// Read a file and (if gzip) inflate it. Returns 0 and the text in `out`,
+// -1 on open failure, -2 on corrupt gzip.
+int read_inflate(const char* path, size_t fsize, std::vector<char>& out) {
+  std::vector<char> in(fsize);
+  {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    size_t got = fread(in.data(), 1, fsize, f);
+    fclose(f);
+    in.resize(got);
+  }
+  if (is_gzip(in)) {
+    if (!inflate_all(in, out)) return -2;
+  } else {
+    out = std::move(in);
+  }
+  return 0;
+}
+
+int count_wholebuf(Counter* c, const char* path, size_t fsize) {
+  std::vector<char> text;
+  int rc = read_inflate(path, fsize, text);
+  if (rc != 0) return rc;
+  return count_text(c, text.data(), text.size());
 }
 
 // ---------- streaming fallback (large files) ----------
@@ -574,6 +586,56 @@ int bronko_counter_count_fastq(void* h, const char* path) {
   if ((size_t)st.st_size <= cap)
     return count_wholebuf(c, path, (size_t)st.st_size);
   return count_streaming(c, path);
+}
+
+// Read + inflate a FASTQ file into a buffer for a later
+// bronko_counter_count_text call — lets the caller overlap one sample's
+// single-threaded inflate with another sample's parse/count (the engine's
+// inflate-ahead worker). Returns an opaque buffer handle (free with
+// bronko_buffer_free) and writes the text size to *out_size; returns NULL
+// with *out_size = -1 when the file exceeds the whole-buffer cap (caller
+// falls back to bronko_counter_count_fastq's streaming path) or -2 on
+// open/corrupt failure.
+void* bronko_read_inflate(const char* path, int64_t* out_size) {
+  *out_size = -2;
+  struct stat st;
+  if (stat(path, &st) != 0) return nullptr;
+  bool gz = false;
+  {
+    FILE* f = fopen(path, "rb");
+    if (!f) return nullptr;
+    unsigned char head[2];
+    size_t got = fread(head, 1, 2, f);
+    fclose(f);
+    gz = got == 2 && head[0] == 0x1f && head[1] == 0x8b;
+  }
+  size_t cap = gz ? kWholeBufMaxGz : kWholeBufMaxPlain;
+  if ((size_t)st.st_size > cap) {
+    *out_size = -1;
+    return nullptr;
+  }
+  auto* buf = new std::vector<char>();
+  if (read_inflate(path, (size_t)st.st_size, *buf) != 0) {
+    delete buf;
+    return nullptr;
+  }
+  *out_size = (int64_t)buf->size();
+  return buf;
+}
+
+const char* bronko_buffer_data(void* buf) {
+  return static_cast<std::vector<char>*>(buf)->data();
+}
+
+void bronko_buffer_free(void* buf) {
+  delete static_cast<std::vector<char>*>(buf);
+}
+
+// Count an already-inflated FASTQ text buffer (from bronko_read_inflate).
+// Returns 0 on success, -2 on malformed input.
+int bronko_counter_count_text(void* h, const void* text, int64_t size) {
+  return count_text(static_cast<Counter*>(h),
+                    static_cast<const char*>(text), (size_t)size);
 }
 
 // Merge per-thread tables; apply ci floor and cs cap. Returns kept count.

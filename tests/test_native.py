@@ -161,3 +161,38 @@ def test_host_counter_wholebuf_edge_cases(tmp_path):
         fh.write("".join(recs[:10]) + "notaheader\nACGT\n+\nIIII\n")
     with pytest.raises(ValueError):
         native_count_fastq(bad, 21, 1, 1_000_000)
+
+
+def test_inflate_ahead_matches_plain(tmp_path):
+    """native_read_inflate + count_text (the engine's inflate-ahead path)
+    must equal the one-call count_fastq path on gz and plain inputs, close
+    its buffer, and fall back cleanly on open failure."""
+    import gzip
+
+    import numpy as np
+
+    from bronko_tpu.io.native import native_count_fastq, native_read_inflate
+
+    rng = np.random.default_rng(13)
+    recs = []
+    for i in range(250):
+        r = "".join(rng.choice(list("ACGT"), size=70))
+        recs.append(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    for suffix, op in (("fastq", open), ("fastq.gz", None)):
+        path = str(tmp_path / ("x." + suffix))
+        if op is None:
+            with open(path, "wb") as fh:
+                fh.write(gzip.compress("".join(recs).encode()))
+        else:
+            with op(path, "w") as fh:
+                fh.write("".join(recs))
+        k_ref, c_ref, st_ref = native_count_fastq(path, 21, 1, 1_000_000)
+        text = native_read_inflate(path)
+        assert text.handle is not None and text.size > 0
+        k2, c2, st2 = native_count_fastq(path, 21, 1, 1_000_000, text=text)
+        assert text.handle is None  # closed by the counter
+        assert st2 == st_ref
+        assert np.array_equal(k2, k_ref) and np.array_equal(c2, c_ref)
+
+    missing = native_read_inflate(str(tmp_path / "nope.fastq.gz"))
+    assert missing.handle is None  # caller falls back to the path-based count
