@@ -680,7 +680,6 @@ def _stream_pass1(
     index: BronkoIndex,
     dev: DeviceIndex,
     cfg: CallConfig,
-    threads: int | None = None,
 ) -> PendingStream:
     """Streamed count->tally (VERDICT r1 item 10): the C++ counter finalizes
     one key-range partition at a time; each partition's tally dispatch is
@@ -701,7 +700,7 @@ def _stream_pass1(
     n_kmers = 0
     for kmers, counts, stats in native_count_fastq_stream(
             paths, index.k, cfg.min_kmers, KMER_COUNT_CAP,
-            threads=max(1, threads or cfg.threads)):
+            threads=max(1, cfg.threads)):
         if stats is not None:
             stats_sum = CountStats(**{
                 f: getattr(stats_sum, f) + stats[f]
@@ -744,13 +743,20 @@ def _process_one_stream(
                        _stream_pass1(paths, index, dev, cfg))
 
 
+def _env_flag(name: str) -> bool:
+    """Truthiness of an env toggle: '0'/'false'/'no'/'off'/'' are OFF
+    (a plain presence check would read BRONKO_X=0 as on)."""
+    return os.environ.get(name, "").strip().lower() not in (
+        "", "0", "false", "no", "off")
+
+
 def _can_stream(cfg: CallConfig, dev: DeviceIndex, sharded) -> bool:
     """Streaming pays when there is no cross-sample prefetch to hide the
     host count anyway (single job), the probe-reuse fast path applies, and
     no full k-mer dump is requested."""
     if sharded is not None or cfg.keep_kmer_counts or cfg.counter == "device":
         return False
-    if os.environ.get("BRONKO_NO_STREAM"):  # debug/A-B override
+    if _env_flag("BRONKO_NO_STREAM"):  # debug/A-B override
         return False
     if (dev.hist is None and dev.hist_words is None) or not dev.fid_grouped:
         return False
@@ -777,9 +783,20 @@ def _count_job(paths: list[str], cfg: CallConfig, k: int,
     tools/bench_h2d_tpu.py). `texts` are inflate-ahead futures, one per
     path: the single-threaded gzip inflate of THIS sample ran on the
     dedicated inflate worker while the previous sample parsed/counted."""
-    parts = [count_sample(p, cfg, k, threads=threads,
-                          text=texts[i].result() if texts else None)
-             for i, p in enumerate(paths)]
+    try:
+        parts = [count_sample(
+            p, cfg, k, threads=threads,
+            text=texts[i].result() if texts and texts[i] is not None else None)
+                 for i, p in enumerate(paths)]
+    finally:
+        # a failed mate must not pin its sibling's inflated buffer (or its
+        # budget reservation) for the rest of the run; close() is idempotent
+        for f in texts or []:
+            if f is not None:
+                try:
+                    f.result().close()
+                except Exception:  # noqa: BLE001
+                    pass
     kmers = np.concatenate([p[0] for p in parts])
     counts = np.concatenate([p[1] for p in parts])
     cstats = CountStats(
@@ -862,7 +879,11 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
 
     from concurrent.futures import wait as _fwait
 
-    count_workers = max(1, int(os.environ.get("BRONKO_COUNT_WORKERS", "1")))
+    try:
+        count_workers = max(1, int(os.environ.get("BRONKO_COUNT_WORKERS", "1")))
+    except ValueError:
+        log.warning("BRONKO_COUNT_WORKERS is not an integer; using 1")
+        count_workers = 1
     count_threads = max(1, cfg.threads // count_workers)
 
     # pipeline-fill cut (opt-in): on a cohort, every sample's count hides
@@ -875,7 +896,7 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
     # 2.62 s). Default off; BRONKO_STREAM_FIRST=1 enables it for
     # directly-attached TPU hosts where dispatch latency is microseconds.
     stream_first: list[str] | None = None
-    if (os.environ.get("BRONKO_STREAM_FIRST")
+    if (_env_flag("BRONKO_STREAM_FIRST")
             and len(jobs_iter) > 1 and len(mcfg0.positions) > 0
             and _can_stream(cfg, dev, sharded)):
         stream_first = jobs_iter[0]
@@ -883,9 +904,12 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
 
     # inflate-ahead worker: read+inflate upcoming samples' gzip on a
     # dedicated thread (the inflate is the count's single-threaded section,
-    # ~30% of it) so it overlaps the current sample's parse/count. Lookahead
-    # is bounded by the job-submission bound below (<= workers+1 jobs ahead
-    # -> ~2-3 inflated buffers live).
+    # ~30% of it) so it overlaps the current sample's parse/count. Live
+    # inflated bytes are capped by a byte budget (gz estimated 8x its
+    # compressed size at submission; charge returned when the buffer
+    # closes) — job-submission lookahead alone would let paired cohorts of
+    # near-cap files hold several 1.5 GB buffers at once. Files over the
+    # budget simply skip the prefetch and inflate inline as before.
     use_inflate_ahead = False
     if cfg.counter in ("auto", "host"):
         try:
@@ -894,6 +918,31 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
             use_inflate_ahead = get_lib() is not None
         except Exception:  # noqa: BLE001
             pass
+    import threading as _threading
+
+    inflate_budget = 512 << 20  # bytes of estimated inflated text in flight
+    inflate_out = [0]
+    inflate_lock = _threading.Lock()
+
+    def _charge(path: str):
+        """Reserve budget for one file; returns a release callback or None
+        (skip the prefetch) when the file is missing or over budget."""
+        try:
+            est = os.path.getsize(path)
+        except OSError:
+            return None
+        if path.endswith((".gz", ".bgz", ".bgzf")):
+            est *= 8
+        with inflate_lock:
+            if inflate_out[0] + est > inflate_budget:
+                return None
+            inflate_out[0] += est
+
+        def _release():
+            with inflate_lock:
+                inflate_out[0] -= est
+
+        return _release
 
     with ThreadPoolExecutor(max_workers=count_workers) as pool, \
             ThreadPoolExecutor(max_workers=1) as call_pool, \
@@ -904,8 +953,14 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
         def _ensure_submitted(upto: int) -> None:
             while len(futures) < min(upto, len(jobs_iter)):
                 job = jobs_iter[len(futures)]
-                texts = ([inflate_pool.submit(native_read_inflate, p)
-                          for p in job] if use_inflate_ahead else None)
+                texts = None
+                if use_inflate_ahead:
+                    texts = []
+                    for p in job:
+                        release = _charge(p)
+                        texts.append(None if release is None else
+                                     inflate_pool.submit(
+                                         native_read_inflate, p, release))
                 futures.append(pool.submit(
                     _count_job, job, cfg, index.k,
                     sharded is None, count_threads, texts))

@@ -113,16 +113,22 @@ def get_lib():
 class InflatedText:
     """Opaque handle to a C++-owned inflated FASTQ text buffer
     (bronko_read_inflate). `handle is None` marks fallback: the file was
-    over the whole-buffer cap or the read failed — count from the path."""
+    over the whole-buffer cap or the read failed — count from the path.
+    `on_close` fires exactly once on the first close() (the engine uses it
+    to return the buffer's bytes to its inflate-ahead budget)."""
 
-    def __init__(self, handle, size: int):
+    def __init__(self, handle, size: int, on_close=None):
         self.handle = handle
         self.size = size
+        self._on_close = on_close
 
     def close(self):
         if self.handle is not None:
             get_lib().bronko_buffer_free(self.handle)
             self.handle = None
+        if self._on_close is not None:
+            cb, self._on_close = self._on_close, None
+            cb()
 
     def __del__(self):  # backstop; the engine closes explicitly
         try:
@@ -131,17 +137,18 @@ class InflatedText:
             pass
 
 
-def native_read_inflate(path: str) -> InflatedText:
+def native_read_inflate(path: str, on_close=None) -> InflatedText:
     """Read + inflate one FASTQ on the calling thread (GIL released inside
     the C call) so the engine can overlap sample i+1's single-threaded
     inflate with sample i's multi-threaded parse/count."""
     lib = get_lib()
     assert lib is not None
     size = ctypes.c_int64()
-    h = lib.bronko_read_inflate(path.encode(), ctypes.byref(size))
-    if h is None:
-        return InflatedText(None, int(size.value))
-    return InflatedText(h, int(size.value))
+    try:
+        h = lib.bronko_read_inflate(path.encode(), ctypes.byref(size))
+    except Exception:  # noqa: BLE001 — fall back to the path-based count
+        h = None
+    return InflatedText(h, int(size.value), on_close=on_close)
 
 
 def native_count_fastq(path: str, k: int, min_count: int, count_cap: int,

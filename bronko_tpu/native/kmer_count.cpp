@@ -76,6 +76,28 @@ struct Table {
     insert_at(key, mix(key) & mask, add);
   }
 
+  // Saturating variant for cross-table merges: per-table values are each
+  // < 2^32, but their SUM across tables can exceed it (the old finalize
+  // summed in uint64). Saturation preserves the min(sum, cs)/>=ci
+  // semantics for any uint32 cs/ci. (grow() re-inserts each key once into
+  // an empty table, so saturated values survive growth unchanged.)
+  inline void insert_sat(uint64_t key, uint32_t add) {
+    size_t i = mix(key) & mask;
+    while (true) {
+      if (keys[i] == key) {
+        uint64_t v = (uint64_t)vals[i] + add;
+        vals[i] = v > 0xFFFFFFFFull ? 0xFFFFFFFFu : (uint32_t)v;
+        return;
+      }
+      if (keys[i] == kEmpty) {
+        keys[i] = key; vals[i] = add;
+        if (++used * 5 > keys.size() * 3) grow();
+        return;
+      }
+      i = (i + 1) & mask;
+    }
+  }
+
   inline void insert_at(uint64_t key, size_t i, uint32_t add) {
     while (true) {
       if (keys[i] == key) { vals[i] += add; return; }
@@ -403,6 +425,26 @@ int count_text(Counter* c, const char* text, size_t size) {
   return 0;
 }
 
+// Whole-buffer eligibility: the file's byte size when it fits the
+// front-end cap for its kind (gzip sniffed from the magic), -1 when it
+// must stream, -2 on open failure. Shared by count_fastq and
+// read_inflate so their wholebuf-vs-streaming decisions cannot drift.
+int64_t whole_buf_size(const char* path) {
+  struct stat st;
+  if (stat(path, &st) != 0) return -2;
+  bool gz = false;
+  {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -2;
+    unsigned char head[2];
+    size_t got = fread(head, 1, 2, f);
+    fclose(f);
+    gz = got == 2 && head[0] == 0x1f && head[1] == 0x8b;
+  }
+  size_t cap = gz ? kWholeBufMaxGz : kWholeBufMaxPlain;
+  return (size_t)st.st_size <= cap ? (int64_t)st.st_size : -1;
+}
+
 // Read a file and (if gzip) inflate it. Returns 0 and the text in `out`,
 // -1 on open failure, -2 on corrupt gzip.
 int read_inflate(const char* path, size_t fsize, std::vector<char>& out) {
@@ -536,7 +578,7 @@ void merge_partition(Counter* c, int part, int shift, uint32_t ci,
     for (size_t i = 0; i < t.keys.size(); ++i) {
       uint64_t key = t.keys[i];
       if (key != Table::kEmpty && (int)(key >> shift) == part)
-        pt.insert(key, t.vals[i]);
+        pt.insert_sat(key, t.vals[i]);
     }
   out.unique = (int64_t)pt.used;
   out.keys.reserve(pt.used / 4);
@@ -572,21 +614,9 @@ void bronko_counter_destroy(void* h) { delete static_cast<Counter*>(h); }
 // Returns 0 on success, -1 on open failure, -2 on malformed input.
 int bronko_counter_count_fastq(void* h, const char* path) {
   auto* c = static_cast<Counter*>(h);
-  struct stat st;
-  if (stat(path, &st) != 0) return -1;
-  std::vector<char> head(2);
-  bool gz = false;
-  {
-    FILE* f = fopen(path, "rb");
-    if (!f) return -1;
-    size_t got = fread(head.data(), 1, 2, f);
-    fclose(f);
-    gz = got == 2 && (unsigned char)head[0] == 0x1f &&
-         (unsigned char)head[1] == 0x8b;
-  }
-  size_t cap = gz ? kWholeBufMaxGz : kWholeBufMaxPlain;
-  if ((size_t)st.st_size <= cap)
-    return count_wholebuf(c, path, (size_t)st.st_size);
+  int64_t fsize = whole_buf_size(path);
+  if (fsize == -2) return -1;
+  if (fsize >= 0) return count_wholebuf(c, path, (size_t)fsize);
   return count_streaming(c, path);
 }
 
@@ -599,25 +629,12 @@ int bronko_counter_count_fastq(void* h, const char* path) {
 // falls back to bronko_counter_count_fastq's streaming path) or -2 on
 // open/corrupt failure.
 void* bronko_read_inflate(const char* path, int64_t* out_size) {
-  *out_size = -2;
-  struct stat st;
-  if (stat(path, &st) != 0) return nullptr;
-  bool gz = false;
-  {
-    FILE* f = fopen(path, "rb");
-    if (!f) return nullptr;
-    unsigned char head[2];
-    size_t got = fread(head, 1, 2, f);
-    fclose(f);
-    gz = got == 2 && head[0] == 0x1f && head[1] == 0x8b;
-  }
-  size_t cap = gz ? kWholeBufMaxGz : kWholeBufMaxPlain;
-  if ((size_t)st.st_size > cap) {
-    *out_size = -1;
-    return nullptr;
-  }
+  int64_t fsize = whole_buf_size(path);
+  *out_size = fsize < 0 ? fsize : 0;
+  if (fsize < 0) return nullptr;
   auto* buf = new std::vector<char>();
-  if (read_inflate(path, (size_t)st.st_size, *buf) != 0) {
+  if (read_inflate(path, (size_t)fsize, *buf) != 0) {
+    *out_size = -2;
     delete buf;
     return nullptr;
   }
