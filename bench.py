@@ -19,11 +19,13 @@ detail carries the round-2 perf accounting (VERDICT r1 item 2):
   * stage times: count_s (host C++), tally_s / pileup_s (device, forced via
     np.asarray — block_until_ready under-reports through the axon relay),
     call_s (host f64 caller);
-  * roofline: the map stages' random-access lane count (pass-1 histogram
-    gathers + pass-2 posting expansion x 4 accesses/lane) priced at the
-    chip's measured 23 ns/lane random-gather ceiling (docs/design.md),
-    vs achieved device time -> roofline_pct (sort-based probe costs are
-    not credited, so 100% is unreachable by design);
+  * roofline: the map stages' irreducible work — the pass-1 merge-probe's
+    two sorts of (U index keys + B*J bucket queries) lanes priced at the
+    measured 16 ns/lane/sort 2-operand u64 sort ceiling, plus the
+    random-access lanes (pass-1 histogram pickup + pass-2 posting
+    expansion x 4 accesses/lane) priced at the measured 23 ns/lane
+    random-gather ceiling (docs/design.md) — vs achieved device time ->
+    roofline_pct;
   * scaling: a CPU-mesh proxy (subprocess, 8 virtual devices) running the
     product ShardedMapper at 1 vs 8 devices on the same k-mer workload;
     efficiency = t1 / (8 * t8).
@@ -48,6 +50,8 @@ REF_FIXTURES = "/root/reference/test_data/4_sarscov2"
 N_READS = 300_000
 READ_LEN = 150
 GATHER_NS_PER_LANE = 23.0  # measured on this chip (docs/design.md)
+SORT_NS_PER_LANE = 16.0    # measured: 2-operand u64 lax.sort at 3.3M lanes
+                           # ~53 ms/sort on this chip (tools/bench_probe_tpu.py)
 
 
 def _ensure_data():
@@ -148,6 +152,8 @@ def _single_sample_run(index, dev, cfg, fastq):
         total_s=t_call - t_start,
         probe_lanes=cstats.unique_counted_kmers * J,
         scatter_lanes=lanes2,
+        # per scanned batch the merge probe sorts (U keys + B*J queries)
+        sort_lanes=kj.shape[0] * int(dev.keys.shape[0]) + kj.size * J,
         h2d_bytes=h2d_bytes,
     )
 
@@ -211,10 +217,13 @@ def _pipeline_main():
     batch_reads = r["reads"] * len(summaries)
     reads_per_sec = batch_reads / batch_s
 
-    # roofline: price every random device access at the measured ceiling
+    # roofline: price the probe's two merge sorts at the measured sort
+    # ceiling and every random device access at the measured gather ceiling
     map_s = r["tally_s"] + r["pileup_s"]
     random_accesses = r["probe_lanes"] + 4 * r["scatter_lanes"]
-    sol_s = random_accesses * GATHER_NS_PER_LANE * 1e-9
+    sort_lanes = r["sort_lanes"]
+    sort_sol_s = 2 * sort_lanes * SORT_NS_PER_LANE * 1e-9
+    sol_s = sort_sol_s + random_accesses * GATHER_NS_PER_LANE * 1e-9
     roofline_pct = 100.0 * sol_s / map_s if map_s > 0 else 0.0
 
     out = dict(
@@ -241,8 +250,11 @@ def _pipeline_main():
         roofline=dict(
             probe_lanes=r["probe_lanes"],
             scatter_lanes=r["scatter_lanes"],
+            sort_lanes=sort_lanes,
             random_accesses=random_accesses,
             gather_ns_per_lane=GATHER_NS_PER_LANE,
+            sort_ns_per_lane=SORT_NS_PER_LANE,
+            sort_speed_of_light_s=round(sort_sol_s, 4),
             speed_of_light_s=round(sol_s, 4),
             device_map_s=round(map_s, 4),
             roofline_pct=round(roofline_pct, 1),
