@@ -257,10 +257,93 @@ bool is_gzip(const std::vector<char>& buf) {
          (unsigned char)buf[1] == 0x8b;
 }
 
+// ---------- parallel BGZF inflate ----------
+//
+// BGZF (bgzip/htslib, the blocked gzip variant ubiquitous in genomics
+// archives) stores each <=64 KB member's total size in a 'BC' FEXTRA
+// subfield, so member boundaries are knowable WITHOUT inflating — the
+// blocks then inflate in parallel into a preallocated buffer at ISIZE
+// prefix-sum offsets. Plain single-member gzip has no such boundaries and
+// stays on the serial one-shot path.
+
+struct BgzfBlock {
+  size_t in_off, in_len, out_off, out_len;
+};
+
+bool scan_bgzf(const std::vector<char>& in, std::vector<BgzfBlock>& blocks,
+               size_t& total_out) {
+  const unsigned char* p = (const unsigned char*)in.data();
+  const size_t n = in.size();
+  size_t pos = 0, out = 0;
+  while (pos < n) {
+    if (pos + 18 > n) return false;
+    if (p[pos] != 0x1f || p[pos + 1] != 0x8b || p[pos + 2] != 8 ||
+        !(p[pos + 3] & 4))
+      return false;  // not a FEXTRA gzip member -> not BGZF
+    size_t xlen = p[pos + 10] | ((size_t)p[pos + 11] << 8);
+    if (pos + 12 + xlen > n) return false;
+    size_t sub = pos + 12;
+    const size_t sub_end = sub + xlen;
+    size_t bsize = 0;
+    while (sub + 4 <= sub_end) {
+      size_t slen = p[sub + 2] | ((size_t)p[sub + 3] << 8);
+      if (p[sub] == 'B' && p[sub + 1] == 'C' && slen == 2) {
+        if (sub + 6 > sub_end) return false;
+        bsize = (size_t)(p[sub + 4] | ((size_t)p[sub + 5] << 8)) + 1;
+        break;
+      }
+      sub += 4 + slen;
+    }
+    if (bsize < 26 || pos + bsize > n) return false;
+    uint32_t isize;
+    memcpy(&isize, p + pos + bsize - 4, 4);  // exact: BGZF blocks <= 64 KB
+    blocks.push_back({pos, bsize, out, (size_t)isize});
+    out += isize;
+    pos += bsize;
+  }
+  total_out = out;
+  return !blocks.empty();
+}
+
+bool inflate_bgzf_parallel(const std::vector<char>& in,
+                           std::vector<char>& out) {
+  const LibDeflate& ld = libdeflate();
+  if (!ld.ok) return false;
+  std::vector<BgzfBlock> blocks;
+  size_t total = 0;
+  if (!scan_bgzf(in, blocks, total)) return false;
+  if (blocks.size() < 4) return false;  // serial path is fine
+  out.resize(total);
+  unsigned hw = std::thread::hardware_concurrency();
+  int nt = (int)std::min<size_t>(std::max(1u, hw), 8);
+  std::atomic<size_t> next{0};
+  std::atomic<bool> bad{false};
+  std::vector<std::thread> workers;
+  for (int t = 0; t < nt; ++t) {
+    workers.emplace_back([&]() {
+      void* d = ld.alloc_d();
+      if (!d) { bad.store(true); return; }
+      while (!bad.load()) {
+        size_t i = next.fetch_add(1);
+        if (i >= blocks.size()) break;
+        const BgzfBlock& b = blocks[i];
+        size_t ain = 0, aout = 0;
+        int r = ld.gzip_ex(d, in.data() + b.in_off, b.in_len,
+                           out.data() + b.out_off, b.out_len, &ain, &aout);
+        if (r != 0 || aout != b.out_len) bad.store(true);
+      }
+      ld.free_d(d);
+    });
+  }
+  for (auto& w : workers) w.join();
+  return !bad.load();
+}
+
 // Inflate a whole in-memory gzip stream (possibly multi-member). Returns
 // false on corrupt data before any member decoded.
 bool inflate_all(const std::vector<char>& in, std::vector<char>& out) {
   const LibDeflate& ld = libdeflate();
+  if (inflate_bgzf_parallel(in, out)) return true;
   if (ld.ok) {
     // capacity guess: single-member ISIZE footer (mod 2^32), else ratio
     uint32_t isize = 0;

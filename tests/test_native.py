@@ -196,3 +196,55 @@ def test_inflate_ahead_matches_plain(tmp_path):
 
     missing = native_read_inflate(str(tmp_path / "nope.fastq.gz"))
     assert missing.handle is None  # caller falls back to the path-based count
+
+
+def _bgzf_block(data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    cdata = co.compress(data) + co.flush()
+    bsize = len(cdata) + 26
+    hdr = struct.pack("<4BI2B", 0x1F, 0x8B, 8, 4, 0, 0, 0xFF)
+    hdr += struct.pack("<H2B2H", 6, ord("B"), ord("C"), 2, bsize - 1)
+    return (hdr + cdata
+            + __import__("struct").pack("<II", zlib.crc32(data) & 0xFFFFFFFF,
+                                        len(data) & 0xFFFFFFFF))
+
+
+def test_bgzf_parallel_inflate_matches_plain(tmp_path):
+    """BGZF (bgzip/htslib blocked gzip) inflates in parallel via the 'BC'
+    block-size subfield scan; counts must equal the plain file's, and a
+    corrupted block must be rejected, not silently dropped."""
+    import numpy as np
+
+    from bronko_tpu.io.native import native_count_fastq
+
+    rng = np.random.default_rng(7)
+    recs = []
+    for i in range(4000):
+        r = "".join(rng.choice(list("ACGT"), size=80))
+        recs.append(f"@r{i}\n{r}\n+\n{'J' * 80}\n")
+    text = "".join(recs).encode()
+
+    plain = str(tmp_path / "p.fastq")
+    with open(plain, "wb") as fh:
+        fh.write(text)
+    bg = b"".join(_bgzf_block(text[o:o + 60000])
+                  for o in range(0, len(text), 60000)) + _bgzf_block(b"")
+    bgzf = str(tmp_path / "b.fastq.gz")
+    with open(bgzf, "wb") as fh:
+        fh.write(bg)
+
+    k1, c1, s1 = native_count_fastq(plain, 21, 1, 1_000_000)
+    k2, c2, s2 = native_count_fastq(bgzf, 21, 1, 1_000_000)
+    assert s2 == s1
+    assert np.array_equal(k1, k2) and np.array_equal(c1, c2)
+
+    bad = bytearray(bg)
+    bad[40] ^= 0xFF  # corrupt the first block's deflate stream
+    badp = str(tmp_path / "bad.fastq.gz")
+    with open(badp, "wb") as fh:
+        fh.write(bytes(bad))
+    with pytest.raises(ValueError):
+        native_count_fastq(badp, 21, 1, 1_000_000)
