@@ -920,7 +920,11 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
             pass
     import threading as _threading
 
-    inflate_budget = 512 << 20  # bytes of estimated inflated text in flight
+    try:  # bytes of estimated inflated text in flight (0 disables prefetch)
+        inflate_budget = int(os.environ.get("BRONKO_INFLATE_BUDGET",
+                                            str(512 << 20)))
+    except ValueError:
+        inflate_budget = 512 << 20
     inflate_out = [0]
     inflate_lock = _threading.Lock()
 

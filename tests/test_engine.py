@@ -303,3 +303,31 @@ def test_mesh_sharded_engine_multigenome(tmp_path):
         assert open(os.path.join(out_s, fname)).read() == \
             open(os.path.join(out_1, fname)).read(), fname
     assert "g2" in open(os.path.join(out_s, "bronko_overview.tsv")).read()
+
+
+def test_count_concurrency_paths_byte_identical(synth, tmp_path, monkeypatch):
+    """The inflate-ahead prefetch (default), the budget-exhausted skip path
+    (BRONKO_INFLATE_BUDGET=0), and two concurrent count workers must all
+    produce byte-identical outputs on a 3-sample cohort."""
+    tmp, ref, fq, genome, alts = synth
+    index = build_index(21, [ref])
+    dev = build_device_index(index)
+    outs = {}
+    for name, env in [
+        ("default", {}),
+        ("nobudget", {"BRONKO_INFLATE_BUDGET": "0"}),
+        ("workers2", {"BRONKO_COUNT_WORKERS": "2"}),
+    ]:
+        for k in ("BRONKO_INFLATE_BUDGET", "BRONKO_COUNT_WORKERS"):
+            monkeypatch.delenv(k, raising=False)
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        out = str(tmp_path / f"out_{name}")
+        run_call(small_cfg(genomes=[ref], reads=[fq, fq, fq], output=out),
+                 index, dev)
+        outs[name] = {
+            f: open(os.path.join(out, f), "rb").read()
+            for f in sorted(os.listdir(out))
+        }
+    assert outs["default"] == outs["nobudget"] == outs["workers2"]
+    assert any(f.endswith(".vcf") for f in outs["default"])
