@@ -411,14 +411,13 @@ def call_sample_variants(
     file_meta = index.files[best]
     slices = dev.slices_for_file(best)
     file_base = min(s.offset for s in slices) if slices else 0
+    # ONE device->host transfer of the genome-local pileup (the per-slice
+    # transfer paid a relay round-trip per contig — a 300-contig genome
+    # serialized 300 of them; bytes are the same either way)
+    pileup_h = np.asarray(pileup)
     for sl in slices:
         seq_meta = file_meta.sequences[sl.seq_id]
-        # pass-2 pileup is genome-local; slice on device, transfer only this
-        # sequence's four planes
-        block = np.asarray(
-            jax.lax.dynamic_slice_in_dim(
-                pileup, sl.offset - file_base, sl.length, axis=1)
-        )
+        block = pileup_h[:, sl.offset - file_base:sl.offset - file_base + sl.length]
         fwd_depth = block[PLANE_DEPTH_FWD]
         rev_depth = block[PLANE_DEPTH_REV]
         fwd_cnt = block[PLANE_CNT_FWD]
