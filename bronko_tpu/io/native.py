@@ -210,37 +210,52 @@ def native_count_fastq_stream(paths: list[str], k: int, min_count: int,
     caller overlaps device dispatch on partition p with the host sort of
     partition p+1. Yields (kmers, counts, stats_or_None); stats arrive
     with the LAST partition. Each path gets its own counter (paired mates
-    are separate k-mer streams, matching the reference's two KMC runs)."""
+    are separate k-mer streams, matching the reference's two KMC runs).
+    For paired inputs, mate i+1's single-threaded inflate runs on a helper
+    thread while mate i parses/counts (bounded: <= 2 buffers live)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     lib = get_lib()
     assert lib is not None
-    for path in paths:
-        h = lib.bronko_counter_create(k, max(1, threads))
-        try:
-            rc = lib.bronko_counter_count_fastq(h, path.encode())
-            if rc == -1:
-                raise OSError(f"cannot open {path}")
-            if rc != 0:
-                raise ValueError(f"malformed FASTQ: {path}")
-            unique_counted = 0
-            for part in range(NATIVE_COUNT_PARTS):
-                n = int(lib.bronko_counter_finalize_part(
-                    h, part, NATIVE_COUNT_PARTS, min_count, count_cap))
-                kmers = np.empty(n, np.uint64)
-                counts = np.empty(n, np.uint32)
-                if n:
-                    lib.bronko_counter_extract(h, kmers, counts)
-                unique_counted += n
-                stats = None
-                if part == NATIVE_COUNT_PARTS - 1:
-                    stats = dict(
-                        total_reads=int(lib.bronko_counter_total_reads(h)),
-                        total_kmers=int(lib.bronko_counter_total_kmers(h)),
-                        unique_kmers=int(lib.bronko_counter_unique(h)),
-                        unique_counted_kmers=unique_counted,
-                    )
-                yield kmers, counts.astype(np.int64), stats
-        finally:
-            lib.bronko_counter_destroy(h)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        texts = ([pool.submit(native_read_inflate, p) for p in paths]
+                 if len(paths) > 1 else [None] * len(paths))
+        for path, tf in zip(paths, texts):
+            h = lib.bronko_counter_create(k, max(1, threads))
+            try:
+                text = tf.result() if tf is not None else None
+                if text is not None and text.handle is not None:
+                    try:
+                        rc = lib.bronko_counter_count_text(
+                            h, lib.bronko_buffer_data(text.handle), text.size)
+                    finally:
+                        text.close()
+                else:
+                    rc = lib.bronko_counter_count_fastq(h, path.encode())
+                if rc == -1:
+                    raise OSError(f"cannot open {path}")
+                if rc != 0:
+                    raise ValueError(f"malformed FASTQ: {path}")
+                unique_counted = 0
+                for part in range(NATIVE_COUNT_PARTS):
+                    n = int(lib.bronko_counter_finalize_part(
+                        h, part, NATIVE_COUNT_PARTS, min_count, count_cap))
+                    kmers = np.empty(n, np.uint64)
+                    counts = np.empty(n, np.uint32)
+                    if n:
+                        lib.bronko_counter_extract(h, kmers, counts)
+                    unique_counted += n
+                    stats = None
+                    if part == NATIVE_COUNT_PARTS - 1:
+                        stats = dict(
+                            total_reads=int(lib.bronko_counter_total_reads(h)),
+                            total_kmers=int(lib.bronko_counter_total_kmers(h)),
+                            unique_kmers=int(lib.bronko_counter_unique(h)),
+                            unique_counted_kmers=unique_counted,
+                        )
+                    yield kmers, counts.astype(np.int64), stats
+            finally:
+                lib.bronko_counter_destroy(h)
 
 
 def native_read_fastq_chunks(path: str, chunk_reads: int, max_len: int = 512):
