@@ -108,13 +108,16 @@ def _phase_a(codes, starts, goffs, fids, valid, k: int):
     return inv_s, keys_s, post_s, fid_s, is_new, n_unique, max_bucket
 
 
-@functools.partial(jax.jit, static_argnames=("u_pad", "n_words", "p_valid"))
+@functools.partial(jax.jit,
+                   static_argnames=("u_pad", "n_words", "p_valid",
+                                    "want_hist"))
 def _phase_b(keys_s, post_s, fid_s, is_new, u_pad: int, n_words: int,
-             p_valid: int):
+             p_valid: int, want_hist: bool):
     """Compact unique keys + CSR offsets; build histogram half-words.
 
     Returns (keys_u (u_pad,), offsets (u_pad+1,) i32,
-             hist_halves (u_pad, 2*n_words) i32)."""
+             hist_halves (u_pad, 2*n_words) i32 — a (1, 2) dummy when
+             want_hist is False, skipping the run-length scatter)."""
     P = keys_s.shape[0]
     lane = jnp.arange(P, dtype=jnp.int32)
     rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1           # bucket row
@@ -136,7 +139,21 @@ def _phase_b(keys_s, post_s, fid_s, is_new, u_pad: int, n_words: int,
     keys_u = jnp.where(row < n_real, keys_u,
                        jnp.uint64(0xFFFFFFFFFFFFFFFF))
     starts_u = jnp.where(row < n_real, starts_u, p_valid).astype(jnp.int32)
+    # sentinel collision (the bucket hash wraps mod 2^64, so a REAL bucket
+    # can equal the pad sentinel): the merge probe picks the LAST equal
+    # row, which would be an empty pad row — move the real bucket's CSR
+    # start (and, below, its histogram row) onto row u_pad-1; the rows in
+    # between are never selected
+    nr0 = jnp.maximum(n_real - 1, 0)
+    collide = ((n_real > 0) & (n_real < u_pad)
+               & (keys_b[nr0] == jnp.uint64(0xFFFFFFFFFFFFFFFF)))
+    last_start = starts_b[nr0].astype(jnp.int32)
+    starts_u = jnp.where(collide & (row == u_pad - 1), last_start, starts_u)
     offsets = jnp.concatenate([starts_u, jnp.asarray([p_valid], jnp.int32)])
+
+    W2 = 2 * n_words
+    if not want_hist:
+        return keys_u, offsets, jnp.zeros((1, 2), jnp.int32)
 
     # histogram runs: (bucket, fid) segments of the sorted postings
     run_new = is_new | jnp.concatenate(
@@ -152,11 +169,13 @@ def _phase_b(keys_s, post_s, fid_s, is_new, u_pad: int, n_words: int,
     shift = 8 * (slot % 4)
     col = (fid_s // 8) * 2 + half
     value = (run_len.astype(jnp.int32) << shift)
-    W2 = 2 * n_words
     target = jnp.where(run_new, rank * W2 + col, u_pad * W2)  # dump row
     hist = jnp.zeros(u_pad * W2 + 1, jnp.int32).at[target].add(
         jnp.where(run_new, value, 0), mode="drop")
-    return keys_u, offsets, hist[:-1].reshape(u_pad, W2)
+    hist2d = hist[:-1].reshape(u_pad, W2)
+    hist2d = jnp.where((collide & (row == u_pad - 1))[:, None],
+                       hist2d[nr0][None, :], hist2d)
+    return keys_u, offsets, hist2d
 
 
 @jax.jit
@@ -258,7 +277,7 @@ def device_build(index: BronkoIndex) -> DeviceIndex:
     want_hist = E <= 255 and (
         G <= 8 or u_pad * n_words * 8 <= (2 << 30))
     keys_u, offsets, hist_halves = _phase_b(
-        keys_s, post_s, fid_s, is_new, u_pad, n_words, p_valid)
+        keys_s, post_s, fid_s, is_new, u_pad, n_words, p_valid, want_hist)
     hist = hist_words = None
     if want_hist:
         hist, hist_words = _combine_halves(hist_halves, G, E)

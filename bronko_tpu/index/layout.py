@@ -22,6 +22,22 @@ from bronko_tpu.index.model import (
 from bronko_tpu.ops.buckets import filtered_bucket_positions
 from bronko_tpu.ops.map import MapConfig, pallas_probe_ok
 
+KEY_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def fix_sentinel_collision(ukeys: np.ndarray, offsets_row: np.ndarray,
+                           u_max: int) -> None:
+    """Padded key tables carry the sentinel 2^64-1 with empty CSR rows —
+    but the bucket hash wraps mod 2^64, so a REAL bucket can equal the
+    sentinel. The merge probe resolves duplicate keys to the LAST equal
+    row, which would be an empty pad row; move the real bucket's CSR range
+    onto that last row (the in-between duplicates are never selected)."""
+    u = ukeys.shape[0]
+    if u and u < u_max and ukeys[-1] == KEY_SENTINEL:
+        offsets_row[u_max - 1] = offsets_row[u - 1]
+        offsets_row[u_max] = offsets_row[u]
+
+
 
 @dataclass
 class SeqSlice:
@@ -222,6 +238,7 @@ def build_device_index(index: BronkoIndex) -> DeviceIndex:
             gk[fid_, :u] = ukeys
             go[fid_, :u + 1] = soff
             go[fid_, u + 1:] = soff[-1] if u else 0
+            fix_sentinel_collision(ukeys, go[fid_], U_max)
             gp[fid_, :spost.shape[0]] = spost
             if u:
                 g_max_b = max(g_max_b, int(np.max(np.diff(soff[:u + 1]))))

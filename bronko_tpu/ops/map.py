@@ -365,32 +365,40 @@ def _probe_payload(kmers, counts, keys, payload, *, cfg: MapConfig):
     return ii_c, hit, h, canon, is_rc
 
 
+def _hist_hits(h, G: int):
+    """Unpack a (B, J) packed per-bucket genome histogram (8 bits/genome)
+    into (B, G) per-kmer hit counts. Per-bucket bytes can't overflow —
+    bucket size <= 255 — but a packed sum across J could, so unpack THEN
+    sum over buckets."""
+    shifts8 = jnp.arange(G, dtype=h.dtype) * h.dtype.type(8)
+    per_g = (h[..., None] >> shifts8) & h.dtype.type(0xFF)  # (B,J,G)
+    return per_g.sum(axis=1).astype(jnp.int32)              # (B,G)
+
+
+def _hist_hits_words(hw, G: int):
+    """Multi-word variant: (B, J, W) int64 words, 8 genomes per word ->
+    (B, G) hit counts."""
+    cols = []
+    for g in range(G):
+        byte = (hw[..., g // 8] >> (8 * (g % 8))) & 0xFF
+        cols.append(byte.sum(axis=1))
+    return jnp.stack(cols, axis=1).astype(jnp.int32)        # (B,G)
+
+
 def tally_hist(kmers, counts, keys, offsets, hist, *, cfg: MapConfig):
     """Tally pass via the per-bucket genome histogram: ONE int64 gather per
     (kmer, bucket) query instead of one per posting lane. Valid for G <= 8
     genomes with bucket sizes <= 255 (checked at index load)."""
-    G = cfg.num_genomes
     _, _, h, _, _ = _probe_payload(kmers, counts, keys, hist, cfg=cfg)
-    # unpack per bucket THEN sum over buckets (per-bucket bytes can't
-    # overflow — bucket size <= 255 — but a packed sum across J could)
-    shifts8 = jnp.arange(G, dtype=hist.dtype) * hist.dtype.type(8)
-    per_g = (h[..., None] >> shifts8) & hist.dtype.type(0xFF)  # (B,J,G)
-    return per_g.sum(axis=1).astype(jnp.int32)             # (B,G)
+    return _hist_hits(h, cfg.num_genomes)
 
 
 def tally_hist_multi(kmers, counts, keys, offsets, hist_words, *, cfg: MapConfig):
     """Large-panel tally (any G > 8): per-bucket genome counts packed 8
     per int64 word. ceil(G/8) gathers per query — independent of how many
     postings the panel piles into each bucket."""
-    G = cfg.num_genomes
-    n_words = hist_words.shape[1]
     _, _, hw, _, _ = _probe_payload(kmers, counts, keys, hist_words, cfg=cfg)
-    cols = []
-    for w in range(n_words):
-        word = hw[..., w]
-        for s in range(min(8, G - 8 * w)):
-            cols.append(((word >> (8 * s)) & 0xFF).sum(axis=1))
-    return jnp.stack(cols, axis=1).astype(jnp.int32)       # (B,G)
+    return _hist_hits_words(hw, cfg.num_genomes)
 
 
 def tally_flat(kmers, counts, keys, offsets, postings, *, cfg: MapConfig):
@@ -399,7 +407,7 @@ def tally_flat(kmers, counts, keys, offsets, postings, *, cfg: MapConfig):
     B = kmers.shape[0]
     J = len(cfg.positions)
     N2 = B * J
-    LB = B * J * cfg.lane_factor
+    LB = cfg.lane_budget if cfg.lane_budget else B * J * cfg.lane_factor
     ii_c, hit, _, _ = _probe(kmers, counts, keys, offsets, cfg=cfg)
     startf = offsets[ii_c].reshape(N2)
     endf = offsets[ii_c + 1].reshape(N2)
@@ -459,9 +467,7 @@ def tally_save_jit(kmers, counts, keys, offsets, hist, tallies, cfg: MapConfig):
         tl, lt = carry
         km, ct = batch
         ii_c, _, h, _, _ = _probe_payload(km, ct, keys, hist, cfg=cfg)
-        shifts8 = jnp.arange(G, dtype=hist.dtype) * hist.dtype.type(8)
-        per_g = (h[..., None] >> shifts8) & hist.dtype.type(0xFF)
-        hits = per_g.sum(axis=1).astype(jnp.int32)
+        hits = _hist_hits(h, G)
         tl = tl + classify_tallies(hits, ct > 0, nb_pos)
         lt = jnp.maximum(lt, hits.sum(axis=0, dtype=jnp.int64))
         return (tl, lt), (ii_c, h)  # h keeps the hist dtype (int64 when G > 4)
@@ -484,17 +490,12 @@ def tally_save_words_jit(kmers, counts, keys, offsets, hist_words, tallies,
     where hw_all is (nb, B, J, W) int64."""
     nb_pos = len(cfg.positions)
     G = cfg.num_genomes
-    W = hist_words.shape[1]
 
     def body(carry, batch):
         tl, lt = carry
         km, ct = batch
         ii_c, _, hw, _, _ = _probe_payload(km, ct, keys, hist_words, cfg=cfg)
-        cols = []
-        for g in range(G):
-            byte = (hw[..., g // 8] >> (8 * (g % 8))) & 0xFF
-            cols.append(byte.sum(axis=1))
-        hits = jnp.stack(cols, axis=1).astype(jnp.int32)      # (B,G)
+        hits = _hist_hits_words(hw, G)
         tl = tl + classify_tallies(hits, ct > 0, nb_pos)
         lt = jnp.maximum(lt, hits.sum(axis=0, dtype=jnp.int64))
         return (tl, lt), (ii_c, hw)

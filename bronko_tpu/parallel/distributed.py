@@ -44,12 +44,24 @@ def init_distributed(coordinator: str | None = None,
     if _initialized:
         return jax.process_count() > 1
     if coordinator is None and num_processes is None and process_id is None:
-        return False  # plain single-process run; nothing to do
-    jax.distributed.initialize(
-        coordinator_address=coordinator,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+        # auto-initialize only when a cluster environment is detectable —
+        # initialize() with no args on a plain host raises/hangs, and
+        # silently skipping on a real pod would leave every host computing
+        # alone AND writing outputs (all think they are process 0)
+        import os
+
+        markers = ("JAX_COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
+                   "TPU_WORKER_HOSTNAMES", "CLOUD_TPU_TASK_ID",
+                   "SLURM_JOB_NUM_NODES", "OMPI_COMM_WORLD_SIZE")
+        if not any(os.environ.get(m) for m in markers):
+            return False  # plain single-process run; nothing to do
+        jax.distributed.initialize()  # env/TPU-pod auto-detection
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
     _initialized = True
     log.info("jax.distributed: process %d/%d, %d local + %d global devices",
              jax.process_index(), jax.process_count(),

@@ -24,7 +24,7 @@ def make_mesh(n_data: int | None = None, n_genome: int = 1, devices=None) -> Mes
     if n_data is None:
         n_data = len(devices) // n_genome
     n = n_data * n_genome
-    if n > len(devices):
+    if n > len(devices) or n < 1:  # n<1: genome axis wider than the devices
         raise ValueError(f"requested {n} devices, have {len(devices)}")
     dev_array = np.asarray(devices[:n]).reshape(n_data, n_genome)
     return Mesh(dev_array, ("data", "genome"))

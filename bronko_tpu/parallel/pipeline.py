@@ -15,13 +15,16 @@ rayon/DashMap threading):
     genome's postings land in one shard only (they always do — sharding is
     at file granularity).
 
-All shard arrays are padded to common static shapes (sentinel keys never
-match; empty CSR rows produce zero postings), so one jit covers every shard.
+All shard arrays are padded to common static shapes (pad rows carry the
+key sentinel 2^64-1 with empty CSR rows), so one jit covers every shard.
+The bucket hash wraps mod 2^64, so a REAL bucket can equal the sentinel;
+the merge probe resolves duplicate keys to the LAST equal row, so in that
+case the last real bucket's CSR range moves onto the last padded row
+(_pad_shard) and nothing is lost.
 """
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
 
 import jax
@@ -29,13 +32,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from bronko_tpu.index.layout import DeviceIndex, SeqSlice
+from bronko_tpu.index.layout import (KEY_SENTINEL, SeqSlice,
+                                      fix_sentinel_collision)
 from bronko_tpu.index.model import BronkoIndex
 from bronko_tpu.ops.map import (MapConfig, classify_tallies, pallas_probe_ok,
                                 probe_scatter)
-
-KEY_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
-
 
 @dataclass
 class ShardedIndex:
@@ -146,6 +147,7 @@ def split_index(index: BronkoIndex, n_shards: int) -> ShardedIndex:
         keys[s, :u] = ukeys
         offsets[s, :u + 1] = soff
         offsets[s, u + 1:] = soff[-1] if u else 0
+        fix_sentinel_collision(ukeys, offsets[s], U_max)
         postings[s, :spost.shape[0]] = spost
         if u:
             max_bucket = max(max_bucket, int(np.max(np.diff(soff[:u + 1]))))
@@ -301,8 +303,6 @@ def make_sharded_pileup_scan(mesh: Mesh, cfg: MapConfig):
 
     Returns step(kj (nb,B), cj, keys_g, offsets_g, postings_g) ->
     (pileup (4,T+1,4) replicated, overflow (1,))."""
-    from bronko_tpu.ops.map import probe_scatter
-
     T = cfg.total_len
 
     def local_fn(kj, cj, keys_g, offsets_g, postings_g):

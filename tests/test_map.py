@@ -403,3 +403,32 @@ def test_pileup_saved_narrow_equals_wide(tmp_path):
         p32, ov32 = pileup_from_saved_jit(*args, dev.postings_local32, p32, *tail)
         assert int(ov64) == 0 and int(ov32) == 0
         assert np.array_equal(np.asarray(p64), np.asarray(p32)), best
+
+
+def test_sentinel_key_collision_resolves_to_real_range():
+    """The bucket hash wraps mod 2^64, so a REAL bucket id can equal the
+    pad sentinel 2^64-1. The merge probe picks the LAST equal row, so
+    fix_sentinel_collision must move the real bucket's CSR range onto the
+    last padded row or its postings silently vanish."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bronko_tpu.index.layout import KEY_SENTINEL, fix_sentinel_collision
+    from bronko_tpu.ops.map import _merge_probe
+
+    ukeys = np.array([5, 9, 0xFFFFFFFFFFFFFFFF], np.uint64)
+    soff = np.array([0, 2, 3, 7], np.int32)  # sentinel bucket: 4 postings
+    u_max = 6
+    keys = np.full(u_max, KEY_SENTINEL, np.uint64)
+    keys[:3] = ukeys
+    offsets = np.zeros(u_max + 1, np.int32)
+    offsets[:4] = soff
+    offsets[4:] = 7
+    fix_sentinel_collision(ukeys, offsets, u_max)
+
+    q = jnp.asarray(np.array([[5, 0xFFFFFFFFFFFFFFFF]], np.uint64))
+    ii, hit = _merge_probe(q, jnp.asarray(keys))
+    assert bool(hit[0, 0]) and bool(hit[0, 1])
+    r0, r1 = int(ii[0, 0]), int(ii[0, 1])
+    assert int(offsets[r0 + 1]) - int(offsets[r0]) == 2  # bucket 5
+    assert int(offsets[r1 + 1]) - int(offsets[r1]) == 4  # sentinel bucket
