@@ -87,6 +87,26 @@ def main() -> None:
                           "pileup_sum": int(np.asarray(pileup[2:].sum()))}),
               flush=True)
 
+    # sort ceiling: the 2-operand u64 merge sort at probe shapes — this is
+    # the SORT_NS_PER_LANE constant bench.py's roofline model cites
+    J = len(base_cfg.positions)
+    n_lanes = int(dev.keys.shape[0]) + kj.shape[1] * J
+    xs = jnp.asarray(np.random.default_rng(0).integers(
+        0, 2**63, size=n_lanes, dtype=np.uint64))
+    ot = jnp.arange(n_lanes, dtype=jnp.int32)
+    sort2 = jax.jit(lambda a, b: jax.lax.sort((a, b), num_keys=2,
+                                              is_stable=False))
+    ts = []
+    for _ in range(5):
+        t0 = time.time()
+        out = sort2(xs, ot)
+        np.asarray(out[0][:4])
+        ts.append(round(time.time() - t0, 4))
+    best_s = min(ts[1:])
+    print(json.dumps({"sort_lanes": n_lanes, "sort_s": ts,
+                      "sort_ns_per_lane": round(best_s / n_lanes * 1e9, 2)}),
+          flush=True)
+
 
 if __name__ == "__main__":
     main()
