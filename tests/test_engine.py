@@ -331,3 +331,40 @@ def test_count_concurrency_paths_byte_identical(synth, tmp_path, monkeypatch):
         }
     assert outs["default"] == outs["nobudget"] == outs["workers2"]
     assert any(f.endswith(".vcf") for f in outs["default"])
+
+
+def test_mesh_more_shards_than_genomes(tmp_path):
+    """A genome axis wider than the panel (G=3 files on a 2x4 mesh) leaves
+    one shard EMPTY (all-sentinel keys, zero-length CSR rows); the sharded
+    engine must still match the single-device run byte-for-byte."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    rng = np.random.default_rng(31)
+    base = make_genome(rng, 1100)
+    paths = []
+    for g in range(3):
+        gen = bytearray(base)
+        for p in rng.integers(0, len(base), 30):
+            gen[p] = b"ACGT"[rng.integers(4)]
+        p_ = tmp_path / f"e{g}.fasta"
+        write_fasta(str(p_), f"e{g}", bytes(gen))
+        paths.append(str(p_))
+    truth = open(paths[1]).read().split("\n", 1)[1].replace("\n", "").encode()
+    reads, _ = make_sample(truth, rng, read_len=80, depth=150,
+                           major_positions={250: 0.85}, minor_positions={},
+                           error_rate=0.003)
+    fq = str(tmp_path / "e.fastq.gz")
+    write_fastq(fq, reads)
+
+    index = build_index(21, paths)
+    dev = build_device_index(index)
+    out_1 = str(tmp_path / "eo1")
+    out_s = str(tmp_path / "eos")
+    run_call(small_cfg(genomes=paths, reads=[fq], output=out_1), index, dev)
+    run_call(small_cfg(genomes=paths, reads=[fq], output=out_s, mesh="2x4"),
+             index, dev)
+    for fname in ("e.vcf", "bronko_overview.tsv"):
+        assert open(os.path.join(out_s, fname)).read() == \
+            open(os.path.join(out_1, fname)).read(), fname
