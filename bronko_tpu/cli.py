@@ -15,6 +15,9 @@ from bronko_tpu.config import BuildConfig, CallConfig, setup_logging
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
+    # clap propagates --version to subcommands (cli.rs:17 propagate_version)
+    p.add_argument("-V", "--version", action="version",
+                   version=f"bronko-tpu {consts.BRONKO_TPU_VERSION}")
     p.add_argument("-t", "--threads", type=int, default=4, help="Number of threads")
     p.add_argument("--debug", action="store_true", help="Debug output")
     p.add_argument("--verbose", action="store_true", help="Verbose output")
@@ -25,6 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="bronko-tpu",
         description="TPU-native ultra-rapid mapping-free viral variant calling",
     )
+    # clap's #[command(version)] surface (cli.rs:16)
+    ap.add_argument("-V", "--version", action="version",
+                    version=f"bronko-tpu {consts.BRONKO_TPU_VERSION}")
     sub = ap.add_subparsers(dest="mode", required=True)
 
     b = sub.add_parser("build", help="Create a bronko index of viral references")
