@@ -349,7 +349,39 @@ def _run_subprocess(args: list[str], env_extra: dict[str, str], timeout: int):
         return None
 
 
+def _arm_watchdog() -> None:
+    """The serving relay can hang indefinitely (observed: even a trivial
+    device op blocked >4 h). If the whole bench exceeds the deadline,
+    emit a parseable failure record instead of hanging the round driver.
+    BRONKO_BENCH_TIMEOUT (seconds) overrides; 0 disables."""
+    import threading
+
+    try:
+        deadline = float(os.environ.get("BRONKO_BENCH_TIMEOUT", "2700"))
+    except ValueError:
+        deadline = 2700.0
+    if deadline <= 0:
+        return
+
+    def _fire():
+        print("# bench watchdog fired: TPU relay unresponsive", file=sys.stderr)
+        print(json.dumps({
+            "metric": "reads_per_sec_per_chip",
+            "value": 0,
+            "unit": "reads/s",
+            "vs_baseline": 0,
+            "detail": {"error": f"bench exceeded {deadline:.0f}s — TPU "
+                                "relay unreachable or hung; no measurement"},
+        }), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(deadline, _fire)
+    t.daemon = True
+    t.start()
+
+
 def main() -> None:
+    _arm_watchdog()
     # Subprocesses run FIRST and sequentially: only one process may hold the
     # TPU, and concurrent CPU+TPU python processes can wedge the axon relay
     # (CLAUDE.md). Both pin JAX to the host CPU.
