@@ -645,37 +645,68 @@ int count_streaming(Counter* c, const char* path) {
 // keys are sorted — on deep-coverage data that is ~10x fewer items than
 // sorting the raw (key, val) multiset (error k-mers are singletons and
 // die at the ci floor; measured 0.16 s -> 0.06 s for the whole finalize).
-// uint32 count accumulation matches the per-thread tables' own semantics.
+// uint32 count accumulation saturates (insert_sat), matching the old
+// uint64-sum-then-clamp semantics for any uint32 ci/cs.
 struct MergedPart {
   std::vector<uint64_t> keys;
   std::vector<uint32_t> vals;
   int64_t unique = 0;
 };
 
-void merge_partition(Counter* c, int part, int shift, uint32_t ci,
-                     uint32_t cs, MergedPart& out) {
-  // sized for the expected per-partition load (~#items/2 unique across
-  // tables); at most one grow on heavier tails
-  Table pt(1ull << 19);
-  for (auto& t : c->tables)
-    for (size_t i = 0; i < t.keys.size(); ++i) {
-      uint64_t key = t.keys[i];
-      if (key != Table::kEmpty && (int)(key >> shift) == part)
-        pt.insert_sat(key, t.vals[i]);
-    }
+// (key, val) items of one partition, gathered per source table
+using PartItems = std::vector<std::pair<uint64_t, uint32_t>>;
+
+void merge_items(const std::vector<const PartItems*>& srcs, uint32_t ci,
+                 uint32_t cs, MergedPart& out) {
+  size_t total = 0;
+  for (const PartItems* s : srcs) total += s->size();
+  size_t slots = 1ull << 14;
+  while (slots * 3 < total * 5) slots <<= 1;  // load factor <= 0.6 up front
+  Table pt(slots);
+  for (const PartItems* s : srcs)
+    for (auto& kv : *s) pt.insert_sat(kv.first, kv.second);
   out.unique = (int64_t)pt.used;
-  out.keys.reserve(pt.used / 4);
-  out.vals.reserve(pt.used / 4);
-  std::vector<std::pair<uint64_t, uint32_t>> items;
+  PartItems items;
   items.reserve(pt.used / 4);
   for (size_t i = 0; i < pt.keys.size(); ++i)
     if (pt.keys[i] != Table::kEmpty && pt.vals[i] >= ci)
       items.emplace_back(pt.keys[i], std::min(pt.vals[i], cs));
   std::sort(items.begin(), items.end());
+  out.keys.reserve(items.size());
+  out.vals.reserve(items.size());
   for (auto& kv : items) {
     out.keys.push_back(kv.first);
     out.vals.push_back(kv.second);
   }
+}
+
+// Scan ONE source table once, bucketing its entries into per-partition
+// item lists (the per-partition-scan alternative reads every table P
+// times — 8x the memory traffic).
+void scatter_table(const Table& t, int shift, int n_parts,
+                   std::vector<PartItems>& parts_out) {
+  parts_out.assign(n_parts, PartItems());
+  for (auto& p : parts_out) p.reserve(t.used / n_parts + 16);
+  for (size_t i = 0; i < t.keys.size(); ++i) {
+    uint64_t key = t.keys[i];
+    if (key != Table::kEmpty)
+      parts_out[(int)(key >> shift)].emplace_back(key, t.vals[i]);
+  }
+}
+
+void merge_partition(Counter* c, int part, int shift, uint32_t ci,
+                     uint32_t cs, MergedPart& out) {
+  // single-partition form (the streamed finalize_part path): one scan of
+  // every table, filtered to this partition
+  PartItems items;
+  for (auto& t : c->tables)
+    for (size_t i = 0; i < t.keys.size(); ++i) {
+      uint64_t key = t.keys[i];
+      if (key != Table::kEmpty && (int)(key >> shift) == part)
+        items.emplace_back(key, t.vals[i]);
+    }
+  std::vector<const PartItems*> srcs{&items};
+  merge_items(srcs, ci, cs, out);
 }
 
 }  // namespace
@@ -752,11 +783,26 @@ int64_t bronko_counter_finalize(void* h, uint32_t ci, uint32_t cs) {
     // the 2k-bit k-mer (keys < 2^(2k), so a fixed 64-bit shift would put
     // everything in partition 0)
     const int shift = 2 * c->k - 3;
+    // pass 1: each source table scanned ONCE (parallel over tables),
+    // bucketing entries into per-(table, partition) item lists
+    const size_t T = c->tables.size();
+    std::vector<std::vector<PartItems>> bufs(T);
+    {
+      std::vector<std::thread> scanners;
+      for (size_t t = 0; t < T; ++t)
+        scanners.emplace_back(scatter_table, std::cref(c->tables[t]), shift,
+                              P, std::ref(bufs[t]));
+      for (auto& w : scanners) w.join();
+    }
+    // pass 2: parallel per-partition hash merge + survivor sort
     std::vector<MergedPart> parts(P);
     std::vector<std::thread> workers;
     for (int p = 0; p < P; ++p)
-      workers.emplace_back(merge_partition, c, p, shift, ci, cs,
-                           std::ref(parts[p]));
+      workers.emplace_back([&, p]() {
+        std::vector<const PartItems*> srcs;
+        for (size_t t = 0; t < T; ++t) srcs.push_back(&bufs[t][p]);
+        merge_items(srcs, ci, cs, parts[p]);
+      });
     for (auto& w : workers) w.join();
     c->out_keys.clear();
     c->out_vals.clear();
