@@ -144,3 +144,47 @@ def test_mapper_fuzz_vs_oracle(tmp_path_factory, n_files, seqs_per_file, k,
         assert np.array_equal(pileup[PLANE_DEPTH_REV, r], om["rev"])
         assert np.array_equal(pileup[PLANE_CNT_FWD, r], om["fwd_cnt"])
         assert np.array_equal(pileup[PLANE_CNT_REV, r], om["rev_cnt"])
+
+
+@pytest.mark.parametrize("seed", [4242, 137, 90210])
+def test_caller_fuzz_f64_exact_vs_oracle(seed):
+    """Random pileups (zero-depth runs, spikes, varied filter knobs) through
+    the vectorized caller vs the scalar oracle — every field f64-exact."""
+    from bronko_tpu.call.noise import baseline_noise
+    from bronko_tpu.call.variants import CallStats, call_variants_for_seq
+    from tests.oracle.variants_oracle import call_variants_oracle
+
+    rng = np.random.default_rng(seed)
+    for _ in range(4):
+        L = int(rng.integers(80, 600))
+        seq = bytes(rng.choice(np.frombuffer(b"ACGT", np.uint8), size=L))
+        scale = int(rng.choice([5, 60, 700]))
+        fwd = rng.integers(0, scale, size=(L, 4)).astype(np.int64)
+        rev = rng.integers(0, scale, size=(L, 4)).astype(np.int64)
+        fc = rng.integers(0, 8, size=(L, 4)).astype(np.int64)
+        rc = rng.integers(0, 8, size=(L, 4)).astype(np.int64)
+        fwd[:: int(rng.integers(5, 30))] = 0
+        rev[:: int(rng.integers(5, 30))] = 0
+        fwd[:: int(rng.integers(11, 40)), rng.integers(4)] += scale * 50
+        kwargs = dict(
+            k=21, min_af=float(rng.choice([0.01, 0.03, 0.2])),
+            filter_end_seq=bool(rng.integers(2)),
+            strand_filter=bool(rng.integers(2)),
+            no_strand_balance_filter=bool(rng.integers(2)),
+            strand_balance_ratio=0.1, strand_odds_max=6.0,
+            n_per_strand=2, min_depth=int(rng.choice([50, 300])),
+            min_variant_depth=3, variant_multiplier=1.5,
+        )
+        noise = baseline_noise(fwd, rev)[:, 0]
+        s1 = CallStats()
+        recs = call_variants_for_seq("s", seq, fwd, rev, fc, rc, noise,
+                                     stats=s1, **kwargs)
+        o_recs, o_major, o_minor, o_cov, o_total, _ = call_variants_oracle(
+            "s", seq, fwd, rev, fc, rc, **kwargs)
+        assert (s1.num_major, s1.num_minor) == (o_major, o_minor)
+        assert (s1.positions_covered, s1.total_coverage) == (o_cov, o_total)
+        assert len(recs) == len(o_recs)
+        for r, o in zip(recs, o_recs):
+            assert (r.pos, r.ref_base, r.alt_base, r.depth) == (
+                o["pos"], o["ref_base"], o["alt_base"], o["depth"])
+            assert r.af == o["af"] and r.sor == o["sor"]
