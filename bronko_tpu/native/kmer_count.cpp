@@ -409,27 +409,49 @@ bool inflate_all(const std::vector<char>& in, std::vector<char>& out) {
 
 // Cut [lo, hi) into record-aligned slices: each boundary sits right after
 // a newline whose cumulative index from lo is a multiple of 4 (FASTQ =
-// 4 lines/record; lo itself must be a record start). The per-region
-// newline count is a vectorizable byte-compare loop; at most 3 memchr
-// steps then reach the next 4-line boundary.
+// 4 lines/record; lo itself must be a record start). The newline counts
+// of the FIXED regions [t_i, t_{i+1}) are independent, so they run on
+// worker threads (the count was the serial section: a full pass over the
+// text before any parsing starts); the boundary walk then needs only the
+// cumulative count mod 4 at each t_i plus <=4 memchr line steps.
 std::vector<const char*> record_cuts(const char* lo, const char* hi,
-                                     int n_slices) {
+                                     int n_slices, int n_threads) {
+  const size_t total = (size_t)(hi - lo);
+  std::vector<const char*> targets(n_slices + 1);
+  for (int i = 0; i <= n_slices; ++i)
+    targets[i] = lo + total * (size_t)i / (size_t)n_slices;
+
+  std::vector<size_t> region_cnt(n_slices, 0);
+  {
+    std::atomic<int> next{0};
+    std::vector<std::thread> workers;
+    for (int t = 0; t < std::max(1, n_threads); ++t)
+      workers.emplace_back([&]() {
+        while (true) {
+          int i = next.fetch_add(1);
+          if (i >= n_slices) break;
+          size_t cnt = 0;
+          for (const char* p = targets[i]; p < targets[i + 1]; ++p)
+            cnt += (*p == '\n');
+          region_cnt[i] = cnt;
+        }
+      });
+    for (auto& w : workers) w.join();
+  }
+
   std::vector<const char*> cuts;
   cuts.reserve(n_slices + 1);
   cuts.push_back(lo);
-  const size_t total = (size_t)(hi - lo);
   const char* cur = lo;
-  int phase = 0;
+  size_t cum = 0;  // newlines in [lo, targets[i])
   for (int i = 1; i < n_slices; ++i) {
-    const char* target = lo + total * (size_t)i / (size_t)n_slices;
+    cum += region_cnt[i - 1];
+    const char* target = targets[i];
     if (target <= cur) { cuts.push_back(cur); continue; }
-    size_t cnt = 0;
-    for (const char* p = cur; p < target; ++p) cnt += (*p == '\n');
-    phase = (int)((phase + cnt) & 3);
-    // phase 0 alone is not enough: target may sit MID-line of a record's
-    // header; a record boundary needs phase 0 AND a line start. Otherwise
-    // advance whole lines until both hold (up to 4).
-    int need = (4 - phase) & 3;
+    // cumulative phase 0 alone is not enough: target may sit MID-line of
+    // a record's header; a record boundary needs phase 0 AND a line
+    // start. Otherwise advance whole lines until both hold (up to 4).
+    int need = (int)((4 - (cum & 3)) & 3);
     if (need == 0 && !(target > lo && target[-1] == '\n')) need = 4;
     const char* p2 = target;
     while (need > 0 && p2 < hi) {
@@ -439,7 +461,6 @@ std::vector<const char*> record_cuts(const char* lo, const char* hi,
       --need;
     }
     if (need > 0) p2 = hi;
-    phase = 0;
     cuts.push_back(p2);
     cur = p2;
   }
@@ -481,7 +502,8 @@ int count_text(Counter* c, const char* text, size_t size) {
   if (size == 0) return 0;
 
   const int n_slices = c->n_threads * 8;
-  std::vector<const char*> cuts = record_cuts(text, text + size, n_slices);
+  std::vector<const char*> cuts =
+      record_cuts(text, text + size, n_slices, c->n_threads);
 
   std::atomic<int> next{0};
   std::atomic<bool> malformed{false};
