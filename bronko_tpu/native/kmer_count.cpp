@@ -141,8 +141,7 @@ inline void flush_kmers(Table& t, const uint64_t* kb, int n) {
 }
 
 struct Batch {
-  std::vector<char> seq;       // concatenated sequences
-  std::vector<int32_t> lens;   // per-read lengths
+  std::vector<char> seq;  // record-aligned raw FASTQ text
 };
 
 struct Counter {
@@ -193,34 +192,24 @@ struct Counter {
     }
     if (n) { flush_kmers(t, kbuf, n); nk += n; }
   }
-
-  void worker(int tid) {
-    Table& t = tables[tid];
-    int64_t& nk = thread_kmers[tid];
-    while (true) {
-      Batch batch;
-      {
-        std::unique_lock<std::mutex> lk(mu);
-        cv_get.wait(lk, [&] { return !queue.empty() || done; });
-        if (queue.empty()) return;
-        batch = std::move(queue.front());
-        queue.pop_front();
-      }
-      cv_put.notify_one();
-      const char* p = batch.seq.data();
-      for (int32_t len : batch.lens) {
-        count_seq(t, nk, p, len);
-        p += len;
-      }
-    }
-  }
 };
 
 constexpr size_t kReadBlock = 8 << 20;
-constexpr size_t kBatchBases = 4 << 20;
-// whole-buffer front-end input caps (compressed gz ~8x smaller than text)
+// whole-buffer front-end input caps (compressed gz ~8x smaller than text);
+// BRONKO_WHOLEBUF_MAX (bytes) overrides both — tests use it to force the
+// streaming path on small fixtures
 constexpr size_t kWholeBufMaxGz = 192ull << 20;     // ~1.5 GB inflated
 constexpr size_t kWholeBufMaxPlain = 1536ull << 20;
+
+size_t whole_buf_cap(bool gz) {
+  const char* env = getenv("BRONKO_WHOLEBUF_MAX");
+  if (env) {
+    char* end = nullptr;
+    unsigned long long v = strtoull(env, &end, 10);
+    if (end && end != env) return (size_t)v;
+  }
+  return gz ? kWholeBufMaxGz : kWholeBufMaxPlain;
+}
 
 // ---------- optional libdeflate (dlopen'd; zlib fallback) ----------
 
@@ -546,8 +535,7 @@ int64_t whole_buf_size(const char* path) {
     fclose(f);
     gz = got == 2 && head[0] == 0x1f && head[1] == 0x8b;
   }
-  size_t cap = gz ? kWholeBufMaxGz : kWholeBufMaxPlain;
-  return (size_t)st.st_size <= cap ? (int64_t)st.st_size : -1;
+  return (size_t)st.st_size <= whole_buf_cap(gz) ? (int64_t)st.st_size : -1;
 }
 
 // Read a file and (if gzip) inflate it. Returns 0 and the text in `out`,
@@ -577,80 +565,91 @@ int count_wholebuf(Counter* c, const char* path, size_t fsize) {
 }
 
 // ---------- streaming fallback (large files) ----------
+//
+// The reader's ONLY serial work is inflate: it emits record-ALIGNED raw
+// text blocks (boundary = after the newline whose count since the block
+// start — itself a record boundary — is a multiple of 4), and the workers
+// run the same parse_count the whole-buffer path uses. The old reader
+// split and copied every record itself, which bottlenecked the pipeline
+// on one thread.
 
 int count_streaming(Counter* c, const char* path) {
   gzFile gz = gzopen(path, "rb");
   if (!gz) return -1;
   gzbuffer(gz, 1 << 20);
 
-  // one thread is the reader (inflate + record split); the rest count
   const int n_workers = std::max(1, c->n_threads - 1);
   c->done = false;
+  std::atomic<bool> malformed{false};
+  std::vector<int64_t> reads_w(n_workers, 0);
   std::vector<std::thread> workers;
   for (int t = 0; t < n_workers; ++t)
-    workers.emplace_back([c, t] { c->worker(t); });
+    workers.emplace_back([&, t]() {
+      Table& tab = c->tables[t];
+      int64_t& nk = c->thread_kmers[t];
+      while (true) {
+        Batch b;
+        {
+          std::unique_lock<std::mutex> lk(c->mu);
+          c->cv_get.wait(lk, [&] { return !c->queue.empty() || c->done; });
+          if (c->queue.empty()) return;
+          b = std::move(c->queue.front());
+          c->queue.pop_front();
+        }
+        c->cv_put.notify_one();
+        int64_t r = parse_count(c, tab, nk, b.seq.data(),
+                                b.seq.data() + b.seq.size());
+        if (r < 0) malformed.store(true);
+        else reads_w[t] += r;
+      }
+    });
 
-  std::vector<char> buf;
-  size_t pos = 0;
-  bool eof = false;
-  int rc = 0;
-  Batch cur;
-
-  auto flush_batch = [&]() {
-    if (cur.lens.empty()) return;
+  auto push_block = [&](std::vector<char>&& text) {
+    Batch b;
+    b.seq = std::move(text);
     {
       std::unique_lock<std::mutex> lk(c->mu);
       c->cv_put.wait(lk, [&] { return c->queue.size() < Counter::kMaxQueue; });
-      c->queue.push_back(std::move(cur));
+      c->queue.push_back(std::move(b));
     }
     c->cv_get.notify_one();
-    cur = Batch();
   };
 
-  auto refill = [&]() {
-    if (pos > 0) { buf.erase(buf.begin(), buf.begin() + pos); pos = 0; }
-    if (eof) return !buf.empty();
+  int rc = 0;
+  std::vector<char> buf;  // always begins at a record boundary
+  size_t nl_cnt = 0;      // newlines in buf (incremental)
+  bool eof = false;
+  while (!eof && rc == 0 && !malformed.load()) {
     size_t old = buf.size();
     buf.resize(old + kReadBlock);
     int n = gzread(gz, buf.data() + old, (unsigned)kReadBlock);
-    if (n <= 0) { eof = true; buf.resize(old); }
-    else { buf.resize(old + (size_t)n); if ((size_t)n < kReadBlock) eof = true; }
-    return !buf.empty();
-  };
-
-  while (true) {
-    const char* data = buf.data() + pos;
-    size_t avail = buf.size() - pos;
-    const char* nl[4];
-    size_t scanned = 0;
-    int found = 0;
-    for (; found < 4; ++found) {
-      const char* p = static_cast<const char*>(
-          memchr(data + scanned, '\n', avail - scanned));
-      if (!p) break;
-      nl[found] = p;
-      scanned = (size_t)(p - data) + 1;
+    if (n < 0) { rc = -2; break; }
+    buf.resize(old + (size_t)n);
+    if (n == 0) { eof = true; break; }
+    for (size_t i = old; i < buf.size(); ++i) nl_cnt += (buf[i] == '\n');
+    // cut after the newline whose count from the block start is the
+    // largest multiple of 4: step back (nl_cnt % 4) newlines from the last
+    int back = (int)(nl_cnt & 3);
+    const char* last_ok = nullptr;
+    size_t q = buf.size();
+    for (int i = 0; i <= back; ++i) {
+      const void* nl = memrchr(buf.data(), '\n', q);
+      if (!nl) { last_ok = nullptr; break; }
+      last_ok = (const char*)nl;
+      q = (size_t)((const char*)nl - buf.data());
     }
-    if (found < 4) {
-      if (eof) {
-        if (avail > 0 && found == 3) { nl[3] = data + avail - 1; found = 4; scanned = avail; }
-        else break;
-      } else {
-        if (!refill()) break;
-        continue;
-      }
-    }
-    if (data[0] != '@') { rc = -2; break; }
-    const char* seq_start = nl[0] + 1;
-    const char* seq_end = nl[1];
-    while (seq_end > seq_start && seq_end[-1] == '\r') --seq_end;
-    cur.seq.insert(cur.seq.end(), seq_start, seq_end);
-    cur.lens.push_back((int32_t)(seq_end - seq_start));
-    ++c->total_reads;
-    pos += scanned;
-    if (cur.seq.size() >= kBatchBases) flush_batch();
+    if (!last_ok) continue;  // no full record yet; keep reading
+    size_t cut = (size_t)(last_ok - buf.data()) + 1;
+    if (cut == 0) continue;
+    std::vector<char> tail(buf.begin() + cut, buf.end());
+    buf.resize(cut);
+    push_block(std::move(buf));
+    buf = std::move(tail);
+    nl_cnt = back;  // the tail holds exactly the stepped-back newlines
   }
-  flush_batch();
+  if (rc == 0 && !buf.empty() && !malformed.load())
+    push_block(std::move(buf));  // final partial block (EOF truncation
+                                 // semantics live in parse_count)
   {
     std::lock_guard<std::mutex> lk(c->mu);
     c->done = true;
@@ -658,6 +657,8 @@ int count_streaming(Counter* c, const char* path) {
   c->cv_get.notify_all();
   for (auto& w : workers) w.join();
   gzclose(gz);
+  if (rc == 0 && malformed.load()) rc = -2;
+  for (int64_t r : reads_w) c->total_reads += r;
   return rc;
 }
 

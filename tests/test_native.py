@@ -248,3 +248,55 @@ def test_bgzf_parallel_inflate_matches_plain(tmp_path):
         fh.write(bytes(bad))
     with pytest.raises(ValueError):
         native_count_fastq(badp, 21, 1, 1_000_000)
+
+
+def test_streaming_fallback_matches_wholebuf(tmp_path, monkeypatch):
+    """BRONKO_WHOLEBUF_MAX=0 forces the large-file streaming path (reader
+    emits record-aligned raw blocks; workers parse_count them); results
+    must equal the whole-buffer path on gz, CRLF, and truncated inputs,
+    and malformed input must still be rejected."""
+    import gzip
+
+    import numpy as np
+
+    from bronko_tpu.io.native import native_count_fastq
+
+    rng = np.random.default_rng(17)
+    recs = []
+    for i in range(600):
+        r = "".join(rng.choice(list("ACGTN"), size=int(rng.integers(30, 90)),
+                               p=[0.24, 0.24, 0.24, 0.24, 0.04]))
+        recs.append(f"@r{i} z\n{r}\n+\n{'I' * len(r)}\n")
+    variants = {}
+    plain = str(tmp_path / "p.fastq")
+    with open(plain, "w") as fh:
+        fh.write("".join(recs))
+    variants["plain"] = plain
+    gz = str(tmp_path / "g.fastq.gz")
+    with open(gz, "wb") as fh:
+        fh.write(gzip.compress("".join(recs).encode()))
+    variants["gz"] = gz
+    crlf = str(tmp_path / "c.fastq")
+    with open(crlf, "w", newline="") as fh:
+        fh.write("".join(recs).replace("\n", "\r\n")[:-2])
+    variants["crlf"] = crlf
+    trunc = str(tmp_path / "t.fastq")
+    with open(trunc, "w") as fh:
+        fh.write("".join(recs) + "@late\nACGTACGT")  # dropped partial record
+    variants["trunc"] = trunc
+
+    for name, path in variants.items():
+        monkeypatch.delenv("BRONKO_WHOLEBUF_MAX", raising=False)
+        k_ref, c_ref, s_ref = native_count_fastq(path, 21, 1, 1_000_000)
+        monkeypatch.setenv("BRONKO_WHOLEBUF_MAX", "0")
+        k2, c2, s2 = native_count_fastq(path, 21, 1, 1_000_000)
+        assert s2 == s_ref, name
+        assert np.array_equal(k2, k_ref) and np.array_equal(c2, c_ref), name
+
+    bad = str(tmp_path / "bad.fastq")
+    with open(bad, "w") as fh:
+        fh.write("".join(recs[:5]) + "nothdr\nACGT\n+\nIIII\n" + "".join(recs[5:9]))
+    monkeypatch.setenv("BRONKO_WHOLEBUF_MAX", "0")
+    with pytest.raises(ValueError):
+        native_count_fastq(bad, 21, 1, 1_000_000)
+    monkeypatch.delenv("BRONKO_WHOLEBUF_MAX")
