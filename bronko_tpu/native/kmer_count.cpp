@@ -15,7 +15,9 @@
 //    producer thread does no per-record work at all, so the pipeline's
 //    serial section is just inflate.
 //  * streaming (large-file fallback): one reader thread decompresses and
-//    splits records into sequence batches; workers consume whole batches.
+//    cuts the stream into record-aligned raw blocks; workers parse AND
+//    count the blocks with the same slice parser the whole-buffer path
+//    uses, so inflate is the reader's only serial work.
 //
 // finalize() merges tables by sorted key-range partition. This is the
 // IO-optimal front end when host<->device bandwidth is scarce: only the
