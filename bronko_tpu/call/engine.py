@@ -44,6 +44,11 @@ from bronko_tpu.ops.map import (
 
 log = logging.getLogger("bronko")
 
+# HBM cap on saved pass-1 probe artifacts (the probe-reuse fast path and
+# the streamed path both hold (nb, B) row indices + histogram words per
+# batch until pass 2 consumes them)
+PROBE_BYTES_CAP = 512 << 20
+
 
 def _read_chunks(path: str, cfg: CallConfig):
     """Prefer the native C++ FASTQ reader; fall back to the Python parser
@@ -317,6 +322,21 @@ def _pass2_budget(kj, mcfg, n_kmers, exact_lanes=None):
     return min(budget, B * J * max(2, mcfg.lane_factor))
 
 
+def _dispatch_pileup_saved(kj, cj, ii_all, h_all, dev: DeviceIndex,
+                           best_j, fbase, gcfg, pileup):
+    """One saved-probe pass-2 dispatch: picks the narrow int32 postings
+    (genome-local coords) when the panel fits them, and the multi-word
+    executable when the saved histogram is 4-D (nb, B, J, W — large
+    panels). Shared by the PendingMap and PendingStream paths so their
+    posting/executable selection cannot drift."""
+    post = (dev.postings_local32 if dev.postings_local32 is not None
+            else dev.postings)
+    pileup_fn = (pileup_from_saved_words_jit if h_all.ndim == 4
+                 else pileup_from_saved_jit)
+    return pileup_fn(kj, cj, ii_all, h_all, dev.offsets, post, pileup,
+                     best_j, fbase, gcfg)
+
+
 def run_pileup_saved(kj, cj, saved, dev: DeviceIndex, best: int, mcfg,
                      n_kmers: int | None = None, exact_lanes: int | None = None):
     """Pass 2 via the probe-reuse path (no search): genome-local posting
@@ -334,17 +354,10 @@ def run_pileup_saved(kj, cj, saved, dev: DeviceIndex, best: int, mcfg,
     )
     best_j = jnp.int32(best)
     fbase = jnp.int32(int(dev.file_bases[best]))
-    # narrow int32 postings (genome-local coords) when the panel fits them
-    post = (dev.postings_local32 if dev.postings_local32 is not None
-            else dev.postings)
-    # 4-D saved histogram (nb, B, J, W) = multi-word large-panel probe
-    pileup_fn = (pileup_from_saved_words_jit if h_all.ndim == 4
-                 else pileup_from_saved_jit)
     while True:
         pileup = jnp.zeros((4, gcfg.total_len + 1, 4), jnp.int32)
-        pileup, overflow = pileup_fn(
-            kj, cj, ii_all, h_all, dev.offsets, post,
-            pileup, best_j, fbase, gcfg)
+        pileup, overflow = _dispatch_pileup_saved(
+            kj, cj, ii_all, h_all, dev, best_j, fbase, gcfg, pileup)
         if not int(overflow):
             return pileup
         log.info("pileup lane budget exceeded (%d); retrying", gcfg.lane_budget)
@@ -448,7 +461,6 @@ def call_sample_variants(
 
 
 def _map_one(
-    display_path: str,
     kmers: np.ndarray,
     counts: np.ndarray,
     cstats: CountStats,
@@ -490,7 +502,7 @@ def _map_one(
         per_q = 12 if dev.hist is not None else 4 + 8 * W
         probe_bytes = kj.shape[0] * kj.shape[1] * J * per_q
         if (sharded is None and has_hist and dev.fid_grouped
-                and probe_bytes < 512 << 20):
+                and probe_bytes < PROBE_BYTES_CAP):
             # probe-reuse fast path: pass 1 saves its probe so pass 2 needs
             # no search of its own (single-word for G<=8, multi-word beyond).
             # ONLY the dispatch happens here — the tallies sync, genome
@@ -647,29 +659,54 @@ class PendingStream:
         t1 = time.time()
         best_j = jnp.int32(best)
         fbase = jnp.int32(int(dev.file_bases[best]))
-        post = (dev.postings_local32 if dev.postings_local32 is not None
-                else dev.postings)
-        pileup_fn = (pileup_from_saved_jit if dev.hist is not None
-                     else pileup_from_saved_words_jit)
         pileup = jnp.zeros((4, dev.g_total_len + 1, 4), jnp.int32)
-        if self.parts:
+        saved = [p for p in self.parts if p[2] is not None]
+        unsaved = [p for p in self.parts if p[2] is None]
+        if saved:
             # ONE host sync for every partition's exact lane total, and ONE
             # shared budget (their max): per-partition budgets cost a relay
             # round-trip each AND can differ, splitting pass 2 across
             # several executables (measured 1.9 s -> back under the
             # non-streamed path's latency once the syncs collapse)
-            lts = np.asarray(jnp.stack([lt for *_, lt in self.parts]))
+            lts = np.asarray(jnp.stack([lt for *_, lt in saved]))
             gcfg = replace(
                 self.mcfg,
                 total_len=dev.g_total_len,
                 max_bucket=dev.g_max_bucket,
                 lane_budget=_lane_class(int(lts[:, best].max())),
             )
-            for kj, cj, ii_all, h_all, _lt in self.parts:
+            for kj, cj, ii_all, h_all, _lt in saved:
                 # exact budgets can't overflow: the flag needs no retry loop
-                pileup, _ov = pileup_fn(
-                    kj, cj, ii_all, h_all, dev.offsets, post,
-                    pileup, best_j, fbase, gcfg)
+                pileup, _ov = _dispatch_pileup_saved(
+                    kj, cj, ii_all, h_all, dev, best_j, fbase, gcfg, pileup)
+        if unsaved:
+            # probe-budget-capped partitions re-probe the selected genome's
+            # sub-index; overflow retries recompute from a zeroed pileup
+            # (a partial overflowed scatter must never be accumulated), so
+            # they scatter into their OWN tensor and merge at the end —
+            # depth planes max, count planes add, both order-independent
+            dev.ensure_subindex()
+            gcfg2 = replace(
+                self.mcfg,
+                total_len=dev.g_total_len,
+                max_bucket=dev.g_max_bucket,
+                lane_budget=_pass2_budget(unsaved[0][0], self.mcfg, None),
+            )
+            while True:
+                p2 = jnp.zeros((4, dev.g_total_len + 1, 4), jnp.int32)
+                ov = 0
+                for kj, cj, *_ in unsaved:
+                    p2, o = pileup_all_jit(
+                        kj, cj, dev.g_keys[best], dev.g_offsets[best],
+                        dev.g_postings[best], p2, gcfg2)
+                    ov = ov | o
+                if not int(ov):
+                    break
+                log.info("streamed pileup lane budget exceeded (%d); retrying",
+                         gcfg2.lane_budget)
+                gcfg2 = replace(gcfg2, lane_budget=gcfg2.lane_budget * 2)
+            pileup = jnp.concatenate(
+                [jnp.maximum(pileup[:2], p2[:2]), pileup[2:] + p2[2:]])
         log.info("Scattered pileup in %.2fs", time.time() - t1)
         return best, pileup, triple
 
@@ -687,16 +724,24 @@ def _stream_pass1(
     back-to-back. Tallies chain through donated device buffers; no host
     sync happens here at all (PendingStream.resolve does them on the worker
     thread). Byte-identical to the non-streaming path: partitions cover
-    disjoint sorted key ranges, and scatter-add/max are order-independent."""
+    disjoint sorted key ranges, and scatter-add/max are order-independent.
+
+    Saved probe artifacts are HBM-capped like _map_one's fast path
+    (PROBE_BYTES_CAP): partitions past the cap tally without saving and
+    resolve() re-probes them against the selected genome's sub-index."""
     from bronko_tpu.consts import KMER_COUNT_CAP
     from bronko_tpu.io.native import native_count_fastq_stream
 
     t0 = time.time()
     mcfg = dev.map_config(cfg.n_fixed, cfg.use_full_kmer)
+    J = len(mcfg.positions)
+    hist = dev.hist if dev.hist is not None else dev.hist_words
+    h_bytes = hist.dtype.itemsize * (hist.shape[1] if hist.ndim == 2 else 1)
     tj = jnp.zeros((dev.num_genomes, 3), jnp.int32)
-    parts = []  # (kj, cj, ii_all, h_all, lane_tot) — device arrays
+    parts = []  # (kj, cj, ii_all|None, h_all|None, lane_tot|None)
     stats_sum = CountStats()
     n_kmers = 0
+    saved_bytes = 0
     for kmers, counts, stats in native_count_fastq_stream(
             paths, index.k, cfg.min_kmers, KMER_COUNT_CAP,
             threads=max(1, cfg.threads)):
@@ -709,13 +754,20 @@ def _stream_pass1(
             continue
         n_kmers += kmers.shape[0]
         kj, cj = _prepare_batches(kmers, counts, cfg.batch_size)
-        if dev.hist is not None:
-            tj, lt, ii_all, h_all = tally_save_jit(
-                kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
-        else:
-            tj, lt, ii_all, h_all = tally_save_words_jit(
-                kj, cj, dev.keys, dev.offsets, dev.hist_words, tj, mcfg)
-        parts.append((kj, cj, ii_all, h_all, lt))
+        saved_bytes += kj.size * J * (4 + h_bytes)
+        if saved_bytes <= PROBE_BYTES_CAP:
+            if dev.hist is not None:
+                tj, lt, ii_all, h_all = tally_save_jit(
+                    kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
+            else:
+                tj, lt, ii_all, h_all = tally_save_words_jit(
+                    kj, cj, dev.keys, dev.offsets, dev.hist_words, tj, mcfg)
+            parts.append((kj, cj, ii_all, h_all, lt))
+        else:  # probe budget spent: tally only; resolve() re-probes
+            mode = "hist" if dev.hist is not None else "words"
+            tj, _ov = tally_all_jit(kj, cj, dev.keys, dev.offsets,
+                                    dev.postings, hist, tj, mcfg, mode)
+            parts.append((kj, cj, None, None, None))
 
     log.info("%d reads counted from %s (streamed)",
              stats_sum.total_reads, paths[0])
@@ -811,15 +863,9 @@ def _count_job(paths: list[str], cfg: CallConfig, k: int,
 
 
 def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[SampleSummary]:
-    from concurrent.futures import ThreadPoolExecutor
-
-    from bronko_tpu.utils.memory import log_memory_usage
-
-    os.makedirs(cfg.output, exist_ok=True)
-    summaries: list[SampleSummary] = []
-    variant_info: list[tuple[str, list[VCFRecord]]] = []
-    failures: list[str] = []
-
+    """Per-sample pipeline driver; wraps the body so an open profiler
+    trace is flushed even when the run fails (the failing run is exactly
+    the one whose trace you want)."""
     profiling = False
     if cfg.profile_dir:
         try:
@@ -828,6 +874,26 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
             log.info("Profiling to %s", cfg.profile_dir)
         except Exception as e:  # noqa: BLE001
             log.warning("profiler unavailable: %s", e)
+    try:
+        return _run_call_inner(cfg, index, dev)
+    finally:
+        if profiling:
+            try:
+                jax.profiler.stop_trace()
+            except Exception as e:  # noqa: BLE001
+                log.warning("profiler stop failed: %s", e)
+
+
+def _run_call_inner(cfg: CallConfig, index: BronkoIndex,
+                    dev: DeviceIndex) -> list[SampleSummary]:
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bronko_tpu.utils.memory import log_memory_usage
+
+    os.makedirs(cfg.output, exist_ok=True)
+    summaries: list[SampleSummary] = []
+    variant_info: list[tuple[str, list[VCFRecord]]] = []
+    failures: list[str] = []
 
     sharded = None
     if cfg.mesh:
@@ -986,7 +1052,9 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
 
         for ji, job in enumerate(jobs_iter):
             _ensure_submitted(ji + 1 + count_workers)
-            fut = futures[ji]
+            # release the future: it would otherwise retain its result —
+            # kmer arrays AND device-put batches — for the whole run
+            fut, futures[ji] = futures[ji], None
             display = job[0]
             label = display if len(job) == 1 else f"{job[0]}, {job[1]}"
             log.info("Processing %s", label)
@@ -1010,7 +1078,7 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
                         for km, ct in zip(kmers.tolist(), counts.tolist()):
                             fh.write(f"{kmer_to_string(km, index.k)}\t{ct}\n")
                 result = _map_one(
-                    display, kmers, counts, cstats, index, dev, cfg, sharded,
+                    kmers, counts, cstats, index, dev, cfg, sharded,
                     batches=batches)
                 # device syncs + pass-2 dispatch (fast path) + host phase
                 # (noise scan + caller + writes) overlap the NEXT sample's
@@ -1043,9 +1111,6 @@ def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[Samp
     if failures:
         log.warning("%d of %d samples processed; failed: %s",
                     len(summaries), len(jobs), ", ".join(failures))
-
-    if profiling:
-        jax.profiler.stop_trace()
 
     from bronko_tpu.parallel.distributed import is_primary
 

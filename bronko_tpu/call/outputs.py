@@ -64,20 +64,26 @@ def write_pileup(
     file_meta: FileMeta,
     seq_pileups: dict[str, tuple],  # name -> (fwd_depth, rev_depth) (L,4) arrays
 ) -> str:
+    import numpy as np
+
     path = os.path.join(out_dir, clean_sample_id(reads_path) + ".tsv")
     with open(path, "w") as fh:
         fh.write("reference\tindex\tref\tA\tC\tG\tT\ta\tc\tg\tt\n")
         for s in file_meta.sequences:
             fwd, rev = seq_pileups[s.name]
-            seq_bytes = s.seq
-            for i in range(s.length):
-                f = fwd[i]
-                r = rev[i]
-                fh.write(
-                    f"{s.name}\t{i + 1}\t{chr(seq_bytes[i])}\t"
-                    f"{f[0]}\t{f[1]}\t{f[2]}\t{f[3]}\t"
-                    f"{r[0]}\t{r[1]}\t{r[2]}\t{r[3]}\n"
-                )
+            # vectorized row build (a per-position f-string loop measured
+            # seconds per Mb on the call worker): one bytes-join per column
+            cols = [
+                np.char.array([s.name]).repeat(s.length),
+                (np.arange(1, s.length + 1)).astype("U"),
+                np.frombuffer(s.seq, np.uint8).view("S1").astype("U1"),
+            ] + [np.asarray(fwd[:, b]).astype("U") for b in range(4)] \
+              + [np.asarray(rev[:, b]).astype("U") for b in range(4)]
+            rows = cols[0]
+            for col in cols[1:]:
+                rows = np.char.add(np.char.add(rows, "\t"), col)
+            fh.write("\n".join(rows.tolist()))
+            fh.write("\n")
     return path
 
 

@@ -175,7 +175,10 @@ def run_call_cmd(cfg: CallConfig) -> None:
                 dev = device_build(index)
             else:
                 dev = build_device_index(index)
-    except (OSError, ValueError) as e:
+    except Exception as e:  # noqa: BLE001 — corrupt/truncated .bkdb files
+        # raise IndexError/struct.error/BadZipFile from the decoders; every
+        # load failure gets the reference's clean error + exit 1, not a
+        # traceback (call.rs:189-203)
         log.error("%s | Unable to build/read index, exiting", e)
         raise SystemExit(1) from None
     summaries = run_call(cfg, index, dev)

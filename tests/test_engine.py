@@ -368,3 +368,26 @@ def test_mesh_more_shards_than_genomes(tmp_path):
     for fname in ("e.vcf", "bronko_overview.tsv"):
         assert open(os.path.join(out_s, fname)).read() == \
             open(os.path.join(out_1, fname)).read(), fname
+
+
+def test_streamed_probe_budget_cap_byte_identical(synth, tmp_path, monkeypatch):
+    """With the saved-probe HBM cap forced to 1 byte, every streamed
+    partition takes the tally-only path and resolve() re-probes the
+    selected genome's sub-index — outputs must stay byte-identical."""
+    import bronko_tpu.call.engine as engine
+
+    tmp, ref, fq, genome, alts = synth
+    index = build_index(21, [ref])
+    dev = build_device_index(index)
+    out_s = str(tmp_path / "out_capped")
+    out_b = str(tmp_path / "out_plain")
+    monkeypatch.setattr(engine, "PROBE_BYTES_CAP", 1)
+    run_call(small_cfg(genomes=[ref], reads=[fq], output=out_s,
+                       output_pileup=True), index, dev)
+    monkeypatch.setattr(engine, "PROBE_BYTES_CAP", 512 << 20)
+    monkeypatch.setenv("BRONKO_NO_STREAM", "1")
+    run_call(small_cfg(genomes=[ref], reads=[fq], output=out_b,
+                       output_pileup=True), index, dev)
+    for fname in sorted(os.listdir(out_b)):
+        assert open(os.path.join(out_s, fname)).read() == \
+            open(os.path.join(out_b, fname)).read(), fname
