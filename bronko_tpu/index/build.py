@@ -25,7 +25,7 @@ from bronko_tpu.index.model import SEQ_MASK, BronkoIndex, FileMeta, SeqMeta, pac
 from bronko_tpu.io.fasta import read_fasta
 from bronko_tpu.io.naming import file_stem
 from bronko_tpu.ops.buckets import assign_buckets
-from bronko_tpu.ops.codec import canonical, seq_bytes_to_bits
+from bronko_tpu.ops.codec import canonical, pack_kmer, seq_bytes_to_bits
 
 log = logging.getLogger("bronko")
 
@@ -34,8 +34,7 @@ def _index_one_sequence(bits: np.ndarray, k: int):
     """Return (keys, loc, idx, canon_flags) posting columns for one sequence."""
     nwin = bits.shape[0] - k + 1
     windows = np.lib.stride_tricks.sliding_window_view(bits, k).astype(np.uint64)
-    shifts = np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64)
-    fwd = np.sum(windows << shifts, axis=1, dtype=np.uint64)
+    fwd = pack_kmer(windows, k)  # golden-anchored packing (ops/codec.py)
     canon, is_rc = canonical(fwd, k)
     buckets = assign_buckets(canon, k)              # (nwin, k)
     keys = buckets.reshape(-1)
@@ -45,7 +44,7 @@ def _index_one_sequence(bits: np.ndarray, k: int):
     return keys, loc, idx, canon_flags
 
 
-def parse_genomes(k: int, genome_paths: list[str]) -> list[FileMeta]:
+def parse_genomes(genome_paths: list[str]) -> list[FileMeta]:
     """FASTA paths -> FileMeta list with capacity validation."""
     if len(genome_paths) > 65535:
         raise ValueError("at most 65535 genome files are supported (u16 file ids)")
@@ -68,7 +67,7 @@ def parse_genomes(k: int, genome_paths: list[str]) -> list[FileMeta]:
 
 
 def build_index(k: int, genome_paths: list[str]) -> BronkoIndex:
-    return build_index_from_files(k, parse_genomes(k, genome_paths))
+    return build_index_from_files(k, parse_genomes(genome_paths))
 
 
 def build_index_from_files(k: int, files: list[FileMeta]) -> BronkoIndex:

@@ -208,7 +208,7 @@ def build_device_index_on_device(k: int, genome_paths: list[str]
     splitter need the host build; the call engine does not)."""
     from bronko_tpu.index.build import parse_genomes
 
-    files = parse_genomes(k, genome_paths)
+    files = parse_genomes(genome_paths)
     index = BronkoIndex(
         k=k,
         keys=np.empty(0, np.uint64), offsets=np.asarray([0], np.int64),

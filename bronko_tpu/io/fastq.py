@@ -14,11 +14,11 @@ from collections.abc import Iterator
 
 import numpy as np
 
-# ACGT/acgt -> 0..3, everything else (incl. N, pad) -> 4
-CODES = np.full(256, 4, dtype=np.uint8)
-for _c, _b in ((b"Aa", 0), (b"Cc", 1), (b"Gg", 2), (b"Tt", 3)):
-    CODES[_c[0]] = _b
-    CODES[_c[1]] = _b
+from bronko_tpu.ops.codec import NT_IS_VALID, NT_TO_BITS
+
+# ACGT/acgt -> 0..3, everything else (incl. N, pad) -> 4; derived from the
+# codec's golden-anchored tables so the two byte maps cannot drift
+CODES = np.where(NT_IS_VALID, NT_TO_BITS, np.uint8(4)).astype(np.uint8)
 
 
 def _open(path: str):
@@ -50,11 +50,21 @@ def read_fastq_chunks(
     """Yield (codes, lengths, n_reads) chunks from a FASTQ file.
 
     Reads records as 4-line groups (the common, KMC-compatible layout).
+    The '@'/'+' record markers are validated: a wrapped sequence, missing
+    quality line, or stray blank line would otherwise silently
+    desynchronize the 4-line state machine and corrupt every subsequent
+    record (the native C++ reader raises on the same inputs).
     """
     seqs: list[bytes] = []
     with _open(path) as fh:
         state = 0  # 0: header, 1: seq, 2: plus, 3: qual
-        for raw in fh:
+        for lineno, raw in enumerate(fh, 1):
+            if state == 0 and not raw.startswith(b"@"):
+                raise ValueError(
+                    f"malformed FASTQ: {path}:{lineno}: header must start with '@'")
+            if state == 2 and not raw.startswith(b"+"):
+                raise ValueError(
+                    f"malformed FASTQ: {path}:{lineno}: separator must start with '+'")
             if state == 1:
                 seqs.append(raw.rstrip(b"\r\n"))
                 if len(seqs) >= chunk_reads:
@@ -65,8 +75,3 @@ def read_fastq_chunks(
     if seqs:
         codes, lengths = _encode_reads(seqs)
         yield codes, lengths, len(seqs)
-
-
-def count_fastq_reads(path: str) -> int:
-    with _open(path) as fh:
-        return sum(1 for _ in fh) // 4

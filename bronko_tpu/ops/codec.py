@@ -33,8 +33,9 @@ for _c, _b in ((b"Aa", 0), (b"Cc", 1), (b"Gg", 2), (b"Tt", 3)):
     NT_TO_BITS[_c[0]] = _b
     NT_TO_BITS[_c[1]] = _b
 
-# Separate validity lookup (the counter, like KMC, must *skip* k-mers that
-# contain a non-ACGT byte, while the index builder encodes them as 'A').
+# Separate validity lookup: the counters (like KMC) must *skip* k-mers
+# containing a non-ACGT byte, while the index builder encodes them as 'A';
+# io/fastq.py derives its 0..3-or-4 CODES table from these two.
 NT_IS_VALID = np.zeros(256, dtype=np.bool_)
 for _c in b"AaCcGgTt":
     NT_IS_VALID[_c] = True

@@ -112,6 +112,11 @@ class KmerCounter:
     _pallas_ok: bool | None = None
 
     def add_chunk(self, codes: np.ndarray, lengths: np.ndarray, n_reads: int) -> None:
+        if codes.shape[1] < self.k:
+            # every read shorter than k: zero k-mers, like KMC (a negative
+            # window count would fail the jit trace)
+            self.stats.total_reads += n_reads
+            return
         if KmerCounter._pallas_ok is None:
             KmerCounter._pallas_ok = jax.default_backend() == "tpu"
         try:
@@ -119,13 +124,19 @@ class KmerCounter:
                 jnp.asarray(codes), jnp.asarray(lengths), self.k,
                 use_pallas=KmerCounter._pallas_ok,
             )
-        except Exception:  # noqa: BLE001 — Pallas unavailable on this backend
+        except Exception as e:  # noqa: BLE001 — Mosaic unavailable/rejects
             if not KmerCounter._pallas_ok:
                 raise
-            KmerCounter._pallas_ok = False
+            # retry without the Pallas pack; if the error was transient
+            # (relay contention, OOM) the retry surfaces it instead. The
+            # disable is deliberate and process-wide only after a retry
+            # SUCCEEDS, i.e. the failure was Pallas-specific.
             ukmers, ucounts, n_unique, n_total = extract_and_count_chunk(
                 jnp.asarray(codes), jnp.asarray(lengths), self.k, use_pallas=False,
             )
+            log_ = __import__("logging").getLogger("bronko")
+            log_.warning("Pallas window-pack failed (%s); using XLA pack", e)
+            KmerCounter._pallas_ok = False
         n_unique = int(n_unique)
         self.stats.total_reads += n_reads
         self.stats.total_kmers += int(n_total)
@@ -142,10 +153,13 @@ class KmerCounter:
             return np.empty(0, np.uint64), np.empty(0, np.int64)
         all_k = np.concatenate([c[0] for c in self._chunks])
         all_c = np.concatenate([c[1] for c in self._chunks])
-        order = np.argsort(all_k, kind="stable")
+        order = np.argsort(all_k)
         all_k = all_k[order]
         all_c = all_c[order]
-        uniq, start = np.unique(all_k, return_index=True)
+        # all_k is sorted: boundaries by comparison, not a second sort
+        is_new = np.concatenate([[True], all_k[1:] != all_k[:-1]])
+        uniq = all_k[is_new]
+        start = np.flatnonzero(is_new)
         counts = np.add.reduceat(all_c.astype(np.int64), start) if uniq.size else np.empty(0, np.int64)
         counts = np.minimum(counts, self.count_cap)
         self.stats.unique_kmers = int(uniq.size)

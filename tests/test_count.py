@@ -108,3 +108,38 @@ def test_pallas_pack_matches_xla():
     assert np.array_equal(np.asarray(valid_x), np.asarray(valid_p))
     vx = np.asarray(valid_x)
     assert np.array_equal(np.asarray(acc_x)[vx], np.asarray(kmers_p)[vx])
+
+
+def test_counter_reads_shorter_than_k():
+    """A chunk whose padded width is below k yields zero k-mers (KMC
+    semantics), not a negative-window trace error."""
+    import numpy as np
+
+    from bronko_tpu.ops.count import KmerCounter
+
+    counter = KmerCounter(31, 1)
+    codes = np.full((4, 16), 4, np.uint8)
+    codes[:, :10] = 0
+    counter.add_chunk(codes, np.full(4, 10, np.int32), 4)
+    kmers, counts = counter.finalize()
+    assert kmers.size == 0
+    assert counter.stats.total_reads == 4
+    assert counter.stats.total_kmers == 0
+
+
+def test_python_fastq_parser_rejects_malformed(tmp_path):
+    """The Python fallback parser must reject desynchronizing inputs (the
+    native reader already does) instead of silently corrupting counts."""
+    import pytest
+
+    from bronko_tpu.io.fastq import read_fastq_chunks
+
+    bad_header = tmp_path / "h.fastq"
+    bad_header.write_text("@a\nACGT\n+\nIIII\nnothdr\nACGT\n+\nIIII\n")
+    with pytest.raises(ValueError):
+        list(read_fastq_chunks(str(bad_header)))
+
+    bad_plus = tmp_path / "p.fastq"
+    bad_plus.write_text("@a\nACGT\nIIII\n+\n")  # qual/plus swapped
+    with pytest.raises(ValueError):
+        list(read_fastq_chunks(str(bad_plus)))
