@@ -21,11 +21,13 @@ detail carries the round-2 perf accounting (VERDICT r1 item 2):
     call_s (host f64 caller);
   * roofline: the map stages' irreducible work — the pass-1 merge-probe's
     two sorts of (U index keys + B*J bucket queries) lanes priced at the
-    measured 16 ns/lane/sort 2-operand u64 sort ceiling, plus the
-    random-access lanes (pass-1 histogram pickup + pass-2 posting
-    expansion x 4 accesses/lane) priced at the measured 23 ns/lane
-    random-gather ceiling (docs/design.md) — vs achieved device time ->
-    roofline_pct;
+    2-operand u64 sort ceiling, plus the random-access lanes (pass-1
+    histogram pickup + pass-2 posting expansion x 4 accesses/lane) priced
+    at the random-gather ceiling — vs achieved device time -> roofline_pct.
+    Both ceilings are MEASURED IN-SESSION at the bench's own lane counts
+    (_measure_ceilings): the floor drifts with relay/compiler versions;
+  * detail also carries the chip's live sort/gather ns-per-lane so rounds
+    remain comparable even as the floor moves;
   * scaling: a CPU-mesh proxy (subprocess, 8 virtual devices) running the
     product ShardedMapper at 1 vs 8 devices on the same k-mer workload;
     efficiency = t1 / (8 * t8).
@@ -49,9 +51,10 @@ CACHE = os.path.join(REPO, ".bench_cache")
 REF_FIXTURES = "/root/reference/test_data/4_sarscov2"
 N_READS = 300_000
 READ_LEN = 150
-GATHER_NS_PER_LANE = 23.0  # measured on this chip (docs/design.md)
-SORT_NS_PER_LANE = 16.0    # measured: 2-operand u64 lax.sort at 3.3M lanes
-                           # ~53 ms/sort on this chip (tools/bench_probe_tpu.py)
+GATHER_NS_PER_LANE = 23.0  # fallback only — the roofline uses live-measured
+SORT_NS_PER_LANE = 16.0    # ceilings (_measure_ceilings): the relay-era
+                           # constants drifted 16 -> 9.9 ns/lane/sort across
+                           # one outage (tools/bench_probe_tpu.py)
 
 
 def _ensure_data():
@@ -158,6 +161,51 @@ def _single_sample_run(index, dev, cfg, fastq):
     )
 
 
+def _measure_ceilings(sort_lanes: int, gather_lanes: int) -> tuple[float, float]:
+    """Measure THIS session's sort and random-gather ceilings at the bench's
+    own lane counts. The roofline used to cite constants measured in an
+    earlier session, but the achievable floor drifts with the serving
+    relay / compiler version (observed 16 -> 9.9 ns/lane/sort across one
+    relay outage) — denominating achieved time in a stale floor misreports
+    the roofline %. Falls back to the documented constants on failure."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        rng = np.random.default_rng(0)
+        # the probe's irreducible op: a 2-operand u64 merge sort
+        xs = jnp.asarray(rng.integers(0, 2**63, size=sort_lanes, dtype=np.uint64))
+        ot = jnp.arange(sort_lanes, dtype=jnp.int32)
+        sort2 = jax.jit(lambda a, b: jax.lax.sort((a, b), num_keys=2,
+                                                  is_stable=False))
+        ts = []
+        for _ in range(4):  # lap 0 compiles
+            t0 = time.time()
+            out = sort2(xs, ot)
+            np.asarray(out[0][:4])  # forced: block_until_ready under-reports
+            ts.append(time.time() - t0)
+        sort_ns = min(ts[1:]) / sort_lanes * 1e9
+
+        # random HBM gather at the map passes' access count
+        U = 1 << 20
+        tbl = jnp.asarray(rng.integers(0, 1 << 30, size=U, dtype=np.int32))
+        idx = jnp.asarray(rng.integers(0, U, size=max(gather_lanes, 1),
+                                       dtype=np.int32))
+        gfn = jax.jit(lambda t, i: t[i])
+        ts = []
+        for _ in range(4):
+            t0 = time.time()
+            r = gfn(tbl, idx)
+            np.asarray(r[:4])
+            ts.append(time.time() - t0)
+        gather_ns = min(ts[1:]) / max(gather_lanes, 1) * 1e9
+        return round(sort_ns, 2), round(gather_ns, 2)
+    except Exception as e:  # noqa: BLE001
+        print(f"# ceiling measurement failed ({e!r}); using fallback constants",
+              file=sys.stderr)
+        return SORT_NS_PER_LANE, GATHER_NS_PER_LANE
+
+
 def _pipeline_main():
     """Shared body for the in-process TPU run and the --host-baseline run."""
     genome_paths, fastqs = _ensure_data()
@@ -217,13 +265,19 @@ def _pipeline_main():
     batch_reads = r["reads"] * len(summaries)
     reads_per_sec = batch_reads / batch_s
 
-    # roofline: price the probe's two merge sorts at the measured sort
-    # ceiling and every random device access at the measured gather ceiling
+    # roofline: price the probe's two merge sorts at the sort ceiling and
+    # every random device access at the gather ceiling — both measured NOW,
+    # on this chip, at these lane counts (TPU only; the CPU subprocesses
+    # never report a roofline, so skip the extra compiles there)
     map_s = r["tally_s"] + r["pileup_s"]
     random_accesses = r["probe_lanes"] + 4 * r["scatter_lanes"]
     sort_lanes = r["sort_lanes"]
-    sort_sol_s = 2 * sort_lanes * SORT_NS_PER_LANE * 1e-9
-    sol_s = sort_sol_s + random_accesses * GATHER_NS_PER_LANE * 1e-9
+    if platform == "cpu":
+        sort_ns, gather_ns = SORT_NS_PER_LANE, GATHER_NS_PER_LANE
+    else:
+        sort_ns, gather_ns = _measure_ceilings(sort_lanes, random_accesses)
+    sort_sol_s = 2 * sort_lanes * sort_ns * 1e-9
+    sol_s = sort_sol_s + random_accesses * gather_ns * 1e-9
     roofline_pct = 100.0 * sol_s / map_s if map_s > 0 else 0.0
 
     out = dict(
@@ -252,8 +306,10 @@ def _pipeline_main():
             scatter_lanes=r["scatter_lanes"],
             sort_lanes=sort_lanes,
             random_accesses=random_accesses,
-            gather_ns_per_lane=GATHER_NS_PER_LANE,
-            sort_ns_per_lane=SORT_NS_PER_LANE,
+            gather_ns_per_lane=gather_ns,
+            sort_ns_per_lane=sort_ns,
+            ceilings="measured this session" if platform != "cpu"
+                     else "fallback constants",
             sort_speed_of_light_s=round(sort_sol_s, 4),
             speed_of_light_s=round(sol_s, 4),
             device_map_s=round(map_s, 4),
