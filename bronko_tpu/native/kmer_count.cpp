@@ -27,6 +27,8 @@
 #include <sys/stat.h>
 #include <zlib.h>
 
+#include "gz_parallel.h"
+
 #include <algorithm>
 #include <atomic>
 #include <condition_variable>
@@ -335,6 +337,13 @@ bool inflate_bgzf_parallel(const std::vector<char>& in,
 bool inflate_all(const std::vector<char>& in, std::vector<char>& out) {
   const LibDeflate& ld = libdeflate();
   if (inflate_bgzf_parallel(in, out)) return true;
+  // plain single-member gzip: pugz-style speculative parallel inflate
+  // (gz_parallel.cpp). Returns true ONLY on a CRC32+ISIZE-verified
+  // byte-perfect stream; everything else falls through to serial.
+  if (is_gzip(in) &&
+      bronko_gzp::parallel_inflate((const uint8_t*)in.data(), in.size(), out))
+    return true;
+  out.clear();
   if (ld.ok) {
     // capacity guess: single-member ISIZE footer (mod 2^32), else ratio
     uint32_t isize = 0;
