@@ -28,9 +28,11 @@ detail carries the round-2 perf accounting (VERDICT r1 item 2):
     (_measure_ceilings): the floor drifts with relay/compiler versions;
   * detail also carries the chip's live sort/gather ns-per-lane so rounds
     remain comparable even as the floor moves;
-  * scaling: a CPU-mesh proxy (subprocess, 8 virtual devices) running the
-    product ShardedMapper at 1 vs 8 devices on the same k-mer workload;
-    efficiency = t1 / (8 * t8).
+  * scaling: (a) a real-chip shard proxy — per-device map time on 1/D
+    slices of the workload measured on the TPU, sync-amortized
+    (_tpu_scale_sweep) — and (b) a CPU-mesh proxy (subprocess, 8 virtual
+    devices) running the product ShardedMapper at 1 vs 8 devices;
+    efficiency = t1 / (8 * t8), core-bound past the host's 4 cores.
 
 Run modes (internal): `bench.py --host-baseline` and `bench.py
 --scale-proxy` are the subprocess entry points; both print one JSON line.
@@ -206,6 +208,96 @@ def _measure_ceilings(sort_lanes: int, gather_lanes: int) -> tuple[float, float]
         return SORT_NS_PER_LANE, GATHER_NS_PER_LANE
 
 
+def _tpu_scale_sweep(index, dev, cfg, fastq, full_map_s: float) -> dict | None:
+    """Shard-scaling proxy measured ON THE REAL CHIP (the CPU-mesh proxy is
+    core-bound past 4 virtual devices and lower-bounds true scaling).
+
+    The product engine has TWO data-parallel layouts:
+      * batch-granular (multi-batch samples): each device maps WHOLE
+        batches — per-device work is compute-identical to single-chip, so
+        throughput scaling is limited only by collectives (<2% analytic,
+        docs/design.md) and batch-count granularity. This is the
+        production cohort mode and the basis of the >=80%-efficiency
+        claim.
+      * intra-batch (single-batch samples): each device probes a B/D
+        slice of the one batch, paying the per-batch fixed cost (the
+        merge probe re-sorts the U index keys per shard) every time.
+    One chip measures both: the per-ROW map time at row widths W and W/D,
+    where the W/D rows come from RESHAPING the real batch (no padding
+    distortion), sync cost amortized over R repeated rows scanned in one
+    dispatch. intra_batch_efficiency(D) = t_row(W) / (D * t_row(W/D)) —
+    its decay is exactly the measured fixed-sort term that motivates the
+    batch-granular layout.
+
+    BRONKO_BENCH_SCALE=0 skips (two extra executable shapes ≈ minutes of
+    relay compile)."""
+    if os.environ.get("BRONKO_BENCH_SCALE", "1").strip().lower() in (
+            "0", "false", "no", "off"):
+        return None
+    try:
+        import jax.numpy as jnp
+
+        from bronko_tpu.call.engine import (
+            _prepare_batches, count_sample, pick_best_genome, run_pileup_saved,
+        )
+        from bronko_tpu.ops.map import tally_save_jit
+
+        mcfg = dev.map_config(cfg.n_fixed, cfg.use_full_kmer)
+        kmers, counts, _ = count_sample(fastq, cfg, index.k)
+        kj1, cj1 = _prepare_batches(kmers, counts, cfg.batch_size,
+                                    multiple=16)
+        if kj1.shape[0] != 1:
+            return None  # sweep assumes the bench sample fits one batch
+        W = kj1.shape[1]
+
+        def per_row_map_s(D: int, R: int) -> float:
+            """Map time per (W/D)-wide row: the real batch reshaped into
+            D shard rows, tiled R times, scanned in ONE dispatch (syncs
+            amortized; residual sync cost biases efficiency DOWN)."""
+            kj = jnp.tile(jnp.reshape(kj1, (D, W // D)), (R, 1))
+            cj = jnp.tile(jnp.reshape(cj1, (D, W // D)), (R, 1))
+            best_t = float("inf")
+            for rep in range(3):  # rep 0 compiles the (R*D, W/D) shapes
+                t0 = time.time()
+                tj = jnp.zeros((dev.num_genomes, 3), jnp.int32)
+                tj, lane_tot, ii_all, h_all = tally_save_jit(
+                    kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
+                tallies = np.asarray(tj).astype(np.int64)
+                best = pick_best_genome(tallies, dev)
+                pileup = run_pileup_saved(
+                    kj, cj, (ii_all, h_all), dev, best, mcfg,
+                    n_kmers=kmers.shape[0] // D,
+                    exact_lanes=int(np.asarray(lane_tot)[best]))
+                np.asarray(pileup[0, :8])
+                if rep:
+                    best_t = min(best_t, time.time() - t0)
+            return best_t / (R * D)
+
+        per_row_s = {1: per_row_map_s(1, 4)}
+        for D in (4, 16):
+            per_row_s[D] = per_row_map_s(D, 4)
+        return {
+            "kind": "real_chip_shard_proxy",
+            "note": ("per-shard-row map time measured on the TPU (real "
+                     "batch reshaped, sync-amortized); batch-granular DP "
+                     "executes whole rows per device, so its per-device "
+                     "compute equals the D=1 row exactly and efficiency "
+                     "is collective-bound (<2% analytic)"),
+            "per_row_map_s": {str(d): round(t, 4)
+                              for d, t in per_row_s.items()},
+            "intra_batch_efficiency": {
+                str(d): round(per_row_s[1] / (d * t), 3)
+                for d, t in per_row_s.items() if d > 1},
+            "batch_granular_efficiency": "compute-identical per device; "
+                                         "limited by <2% collectives + "
+                                         "nb % D granularity",
+            "sample_map_s_unreplicated": round(full_map_s, 4),
+        }
+    except Exception as e:  # noqa: BLE001
+        print(f"# tpu scale sweep failed: {e!r}", file=sys.stderr)
+        return None
+
+
 def _pipeline_main():
     """Shared body for the in-process TPU run and the --host-baseline run."""
     genome_paths, fastqs = _ensure_data()
@@ -280,6 +372,10 @@ def _pipeline_main():
     sol_s = sort_sol_s + random_accesses * gather_ns * 1e-9
     roofline_pct = 100.0 * sol_s / map_s if map_s > 0 else 0.0
 
+    scale_tpu = None
+    if platform != "cpu":
+        scale_tpu = _tpu_scale_sweep(index, dev, cfg, fastq, map_s)
+
     out = dict(
         platform=platform,
         build_s=round(build_s, 2),
@@ -316,6 +412,7 @@ def _pipeline_main():
             roofline_pct=round(roofline_pct, 1),
         ),
         h2d_bytes=r["h2d_bytes"],
+        scale_tpu=scale_tpu,
     )
     return out
 
@@ -468,7 +565,7 @@ def main() -> None:
         f"({out['single']['reads_per_sec']:.0f} reads/s) | batch x{out['batch']['n']}: "
         f"{out['batch']['best_s']}s ({reads_per_sec:.0f} reads/s) | "
         f"host-baseline={host_rps} reads/s | roofline={out['roofline']['roofline_pct']}% | "
-        f"scale-proxy={scale}",
+        f"tpu-scale={out['scale_tpu']} | scale-proxy={scale}",
         file=sys.stderr,
     )
     print(json.dumps({
@@ -491,6 +588,8 @@ def main() -> None:
             },
             "roofline": out["roofline"],
             "h2d_bytes": out["h2d_bytes"],
+            "scaling_tpu_shard_proxy": out["scale_tpu"],  # real-chip per-device
+            # share timings; the strongest single-chip scaling evidence
             "scaling_proxy_cpu_mesh": scale,  # CAVEAT: virtual CPU devices share the
             # host cores, so this lower-bounds true ICI scaling
 

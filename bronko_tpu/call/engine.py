@@ -192,9 +192,7 @@ class ShardedMapper:
         import jax as _jax
 
         from bronko_tpu.parallel.mesh import make_mesh
-        from bronko_tpu.parallel.pipeline import (
-            make_sharded_pileup_scan, make_sharded_tally_scan, split_index,
-        )
+        from bronko_tpu.parallel.pipeline import split_index
 
         d_str, g_str = cfg.mesh.split("x")
         self.n_data, self.n_genome = int(d_str), int(g_str)
@@ -230,32 +228,48 @@ class ShardedMapper:
         else:
             self.tally_mode = "flat"
             self.hist = globalize(jnp.zeros(1, jnp.int64), self.mesh, P(None))
-        self._tally = make_sharded_tally_scan(self.mesh, self.mcfg,
-                                              self.tally_mode)
-        self._pileup_steps: dict = {}  # keyed by (lane_budget, total_len)
+        self._tally_steps: dict = {}   # keyed by batchwise bool
+        self._batchwise = False        # layout of the last place_batches
+        self._pileup_steps: dict = {}  # keyed by (budget, total_len, batchwise)
+
+    def _tally_step(self, batchwise: bool):
+        from bronko_tpu.parallel.pipeline import make_sharded_tally_scan
+
+        step = self._tally_steps.get(batchwise)
+        if step is None:
+            step = self._tally_steps[batchwise] = make_sharded_tally_scan(
+                self.mesh, self.mcfg, self.tally_mode,
+                shard_batches=batchwise)
+        return step
 
     def place_batches(self, kj: np.ndarray, cj: np.ndarray):
-        """Shard the (nb, B) batch arrays over the 'data' axis (pass-1
-        layout; pass 2 reshards device-side)."""
-        spec = self._P(None, "data")
+        """Shard the (nb, B) batch arrays over the 'data' axis.
+
+        Multi-batch samples shard WHOLE batches (nb axis): the probe
+        re-sorts the U index keys once per (device, batch), so splitting
+        each batch's B lanes makes every device pay that fixed term for
+        every batch, while whole-batch sharding keeps aggregate sort work
+        at the single-device total (near-perfect scaling; bit-identical —
+        tallies and scatters are order-independent). Single-batch samples
+        fall back to the B-split layout. Pass 2 reshards device-side."""
+        self._batchwise = kj.shape[0] % self.n_data == 0 and kj.shape[0] >= self.n_data
+        spec = (self._P("data", None) if self._batchwise
+                else self._P(None, "data"))
         return (self._globalize(kj, self.mesh, spec),
                 self._globalize(cj, self.mesh, spec))
 
     def run_tallies(self, kj, cj) -> np.ndarray:
         from dataclasses import replace
 
-        from bronko_tpu.parallel.pipeline import make_sharded_tally_scan
-
         while True:
-            tl, ov = self._tally(kj, cj, self.keys, self.offsets, self.postings,
-                                 self.hist)
+            tl, ov = self._tally_step(self._batchwise)(
+                kj, cj, self.keys, self.offsets, self.postings, self.hist)
             if not int(np.asarray(ov)[0]):
                 return np.asarray(tl).astype(np.int64)
             log.info("sharded tally lane budget exceeded (factor %d); retrying",
                      self.mcfg.lane_factor)
             self.mcfg = replace(self.mcfg, lane_factor=self.mcfg.lane_factor * 2)
-            self._tally = make_sharded_tally_scan(self.mesh, self.mcfg,
-                                                  self.tally_mode)
+            self._tally_steps.clear()
 
     def run_pileup(self, kj, cj, dev: DeviceIndex, best: int, mcfg,
                    n_kmers: int | None = None):
@@ -264,9 +278,17 @@ class ShardedMapper:
         from bronko_tpu.parallel.pipeline import make_sharded_pileup_scan
 
         dev.ensure_subindex()
-        # per-device lane budget: the global pass-2 budget split across the
-        # flattened mesh (each device probes 1/(D*G) of the batch)
-        budget = max(1024, _pass2_budget(kj, mcfg, n_kmers) // self.n_devices)
+        # whole-batch sharding over the flattened mesh when nb divides
+        # (same fixed-sort-cost argument as place_batches; the run-owner
+        # derivation sorts per batch too)
+        batchwise = (kj.shape[0] % self.n_devices == 0
+                     and kj.shape[0] >= self.n_devices)
+        # lane budget is PER BATCH: B-split devices probe 1/(D*G) of each
+        # batch (split the global budget); batchwise devices probe whole
+        # batches (keep the single-device budget)
+        budget = _pass2_budget(kj, mcfg, n_kmers)
+        if not batchwise:
+            budget = max(1024, budget // self.n_devices)
         # selected genome's sub-index, replicated on every mesh device
         P = self._P
         keys_g = self._globalize(dev.g_keys[best], self.mesh, P(None))
@@ -279,11 +301,11 @@ class ShardedMapper:
                 max_bucket=dev.g_max_bucket,
                 lane_budget=budget,
             )
-            key = (budget, gcfg.total_len)
+            key = (budget, gcfg.total_len, batchwise)
             step = self._pileup_steps.get(key)
             if step is None:
                 step = self._pileup_steps[key] = make_sharded_pileup_scan(
-                    self.mesh, gcfg)
+                    self.mesh, gcfg, shard_batches=batchwise)
             pileup, ov = step(kj, cj, keys_g, offsets_g, postings_g)
             if not int(np.asarray(ov)[0]):
                 return pileup

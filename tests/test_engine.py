@@ -267,6 +267,35 @@ def test_mesh_sharded_engine(synth):
             open(os.path.join(out_1, fname)).read(), fname
 
 
+def test_mesh_sharded_engine_batchwise(synth):
+    """Multi-batch samples shard WHOLE batches over the mesh (nb axis —
+    each device pays the per-batch index-key sort only for its own
+    batches). Forcing nb >= devices with a tiny batch size must stay
+    byte-identical to the single-device engine AND to the B-split layout
+    (a batch size that leaves nb=1)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 devices")
+    tmp, ref, fq, genome, alts = synth
+    out_1 = str(tmp / "out_bw_single")
+    out_bw = str(tmp / "out_bw_mesh")
+    index = build_index(21, [ref])
+    dev = build_device_index(index)
+    run_call(small_cfg(genomes=[ref], reads=[fq], output=out_1,
+                       output_pileup=True), index, dev)
+    # batch_size 256 on ~3k unique kmers -> nb >= 16 (padded pow2), so both
+    # the tally (nb % n_data == 0) and the pileup (nb % 8 == 0) take the
+    # batchwise layout on a 4x2 mesh
+    run_call(small_cfg(genomes=[ref], reads=[fq], output=out_bw, mesh="4x2",
+                       output_pileup=True, batch_size=256), index, dev)
+    for fname in ("samp.vcf", "bronko_overview.tsv", "samp.tsv"):
+        assert open(os.path.join(out_bw, fname)).read() == \
+            open(os.path.join(out_1, fname)).read(), fname
+
+
 def test_mesh_sharded_engine_multigenome(tmp_path):
     """Mesh run on a 4-genome panel where reads pick genome 2: pass-2
     sharding must land on the right sub-index and stay byte-identical."""
