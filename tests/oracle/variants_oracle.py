@@ -11,9 +11,19 @@ def call_variants_oracle(
     *, k, min_af=0.03, filter_end_seq=True, strand_filter=True,
     no_strand_balance_filter=False, strand_balance_ratio=0.1,
     strand_odds_max=6.0, n_per_strand=2, min_depth=300,
-    min_variant_depth=3, variant_multiplier=1.5,
+    min_variant_depth=3, variant_multiplier=1.5, noise_max=None,
 ):
-    noise = baseline_noise(fwd, rev)
+    """noise_max: per-position noise floor override ((L,) float64). The
+    end-to-end oracle passes the INDEPENDENT noise transcription
+    (tests/oracle/noise_oracle.py) so no product noise code participates;
+    None keeps the historical behavior (product baseline_noise) for the
+    caller-only tests."""
+    if noise_max is None:
+        noise = baseline_noise(fwd, rev)
+    else:
+        import numpy as _np
+
+        noise = _np.stack([noise_max] * 3, axis=1)
     L = fwd.shape[0]
     nt = {65: 0, 97: 0, 67: 1, 99: 1, 71: 2, 103: 2, 84: 3, 116: 3}
 

@@ -1,0 +1,180 @@
+"""End-to-end oracle fuzz: the ENGINE's VCF vs a fully composed oracle
+pipeline that shares no compute code with the product.
+
+The existing oracle tests validate each stage in isolation (counter,
+mapper, noise scan, caller); golden files only protect against
+regressions of the pipeline against itself (VERDICT r1 weak #4). This
+test closes the composition gap: random panels and read sets go through
+
+  count   — collections.Counter over read windows (KMC -b -ci -cs
+            semantics, N-reset), pure test code;
+  map     — tests/oracle/map_oracle (scalar transcription of
+            build.rs:145-231 + call.rs:1257-1434);
+  select  — argmax perfect/(2*len) transcribed inline (call.rs:422-450);
+  noise   — tests/oracle/noise_oracle (independent transcription of
+            call.rs:799-967; tau from the mpmath-pinned table);
+  call    — tests/oracle/variants_oracle with the oracle noise injected;
+  format  — the reference's VCF row spec (call.rs:763-772) transcribed
+            inline;
+
+and the resulting data lines must equal the engine's VCF byte-for-byte
+(including float formatting), plus the overview's selected genome."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from bronko_tpu.call.engine import run_call
+from bronko_tpu.call.noise import _tau
+from bronko_tpu.config import CallConfig
+from bronko_tpu.index.build import build_index
+from bronko_tpu.index.layout import build_device_index
+from tests.make_synthetic import make_genome, make_sample, write_fasta, write_fastq
+from tests.oracle.lcb_oracle import kmer_to_u64
+from tests.oracle.map_oracle import build_oracle_index, map_kmers_oracle
+from tests.oracle.noise_oracle import reference_noise_scan
+from tests.oracle.variants_oracle import call_variants_oracle
+
+_ACGT = frozenset(b"ACGT")
+
+
+def _count_oracle(reads: list[bytes], k: int, ci: int = 3,
+                  cs: int = 1_000_000) -> list[tuple[int, int]]:
+    """KMC `-b -ci<ci> -cs<cs>` semantics: non-canonical k-mer counts,
+    windows containing non-ACGT dropped, floor ci, cap cs."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for r in reads:
+        for i in range(len(r) - k + 1):
+            w = r[i:i + k]
+            if all(b in _ACGT for b in w):
+                c[kmer_to_u64(w)] += 1
+    return [(km, min(n, cs)) for km, n in sorted(c.items()) if n >= ci]
+
+
+def _oracle_vcf_lines(files, kmer_counts, k: int) -> tuple[list[str], str]:
+    """Compose the oracle stages into VCF data lines + the selected name."""
+    idx = build_oracle_index(k, files)
+    maps, tallies = map_kmers_oracle(kmer_counts, idx)
+
+    best, best_score = None, 0.0
+    for fid, (fname, seqs) in enumerate(files):
+        glen = sum(len(s) for _, s in seqs)
+        score = tallies.get(fid, [0, 0, 0])[0] / glen / 2.0
+        if score > best_score:
+            best, best_score = fid, score
+    assert best is not None, "oracle picked no genome"
+
+    lines = []
+    for sname, seq in files[best][1]:
+        m = maps[best][sname]
+        noise = reference_noise_scan(m["fwd"], m["rev"], _tau)
+        recs, *_ = call_variants_oracle(
+            sname, seq, m["fwd"], m["rev"], m["fwd_cnt"], m["rev_cnt"],
+            k=k, noise_max=noise[:, 0])
+        for r in recs:
+            # VCF row spec transcribed from call.rs:763-772
+            lines.append(
+                f"{r['seq']}\t{r['pos']}\t.\t{'ACGT'[r['ref_base']]}\t"
+                f"{'ACGT'[r['alt_base']]}\t.\tPASS\t"
+                f"DP={r['depth']};AF={r['af']:.3f};"
+                f"DP4={r['fwd_ref']},{r['rev_ref']},{r['fwd_alt']},{r['rev_alt']};"
+                f"SOR={r['sor']:.3f}")
+    return lines, files[best][0]
+
+
+def _engine_vcf_lines(tmp_path, fasta_paths, fq, tag):
+    out = str(tmp_path / f"out_{tag}")
+    cfg = CallConfig(genomes=list(fasta_paths), reads=[fq], output=out,
+                     batch_size=4096, chunk_reads=8192)
+    index = build_index(cfg.kmer, list(fasta_paths))
+    run_call(cfg, index, build_device_index(index))
+    vcf = [f for f in os.listdir(out) if f.endswith(".vcf")]
+    assert len(vcf) == 1
+    with open(os.path.join(out, vcf[0])) as fh:
+        lines = [ln.rstrip("\n") for ln in fh
+                 if not ln.startswith("#")]
+    with open(os.path.join(out, "bronko_overview.tsv")) as fh:
+        fh.readline()
+        selected = fh.readline().split("\t")[1]
+    return lines, selected
+
+
+CASES = [
+    # (seed, n_genomes, glen, depth, err, n_major, n_minor, reads_from)
+    (11, 3, 500, 350, 0.004, 2, 3, 0),
+    (22, 2, 700, 120, 0.01, 3, 0, 1),   # shallow: minors blocked by depth
+    (33, 4, 450, 320, 0.002, 1, 4, 2),  # selection among 4 genomes
+]
+
+
+@pytest.mark.parametrize("seed,n_g,glen,depth,err,n_maj,n_min,src", CASES)
+def test_engine_equals_composed_oracle(tmp_path, seed, n_g, glen, depth,
+                                       err, n_maj, n_min, src):
+    rng = np.random.default_rng(seed)
+    k = 21
+    files = []
+    fasta_paths = []
+    for g in range(n_g):
+        seq = make_genome(rng, glen + 40 * g)
+        p = str(tmp_path / f"g{seed}_{g}.fasta")
+        write_fasta(p, f"seq{g}", seq)
+        fasta_paths.append(p)
+        files.append((f"g{seed}_{g}", [(f"seq{g}", seq)]))
+
+    genome = files[src][1][0][1]
+    L = len(genome)
+    majors = {int(p): 0.9 for p in rng.integers(50, L - 50, n_maj)}
+    minors = {int(p): float(f) for p, f in zip(
+        rng.integers(50, L - 50, n_min), 0.08 + 0.3 * rng.random(n_min))}
+    reads, _ = make_sample(genome, rng, read_len=100, depth=depth,
+                           major_positions=majors, minor_positions=minors,
+                           error_rate=err)
+    fq = str(tmp_path / f"s{seed}.fastq.gz")
+    write_fastq(fq, reads)
+
+    kmer_counts = _count_oracle(reads, k)
+    want_lines, want_name = _oracle_vcf_lines(files, kmer_counts, k)
+    got_lines, got_name = _engine_vcf_lines(tmp_path, fasta_paths, fq, seed)
+
+    assert got_name == want_name
+    assert got_lines == want_lines
+    # the fuzz must exercise real calls, not vacuous empty VCFs
+    if n_maj and depth >= 60:
+        assert len(got_lines) >= 1
+
+
+def test_engine_equals_oracle_multicontig(tmp_path):
+    """Best file with two contigs: per-sequence noise windows, per-contig
+    VCF ordering, and contig-local coordinates all composed."""
+    rng = np.random.default_rng(7)
+    k = 21
+    seq_a = make_genome(rng, 520)
+    seq_b = make_genome(rng, 430)
+    p = str(tmp_path / "multi.fasta")
+    with open(p, "w") as fh:
+        fh.write(f">ctgA\n{seq_a.decode()}\n>ctgB\n{seq_b.decode()}\n")
+    files = [("multi", [("ctgA", seq_a), ("ctgB", seq_b)])]
+
+    reads = []
+    for seq in (seq_a, seq_b):
+        majors = {int(q): 0.85 for q in rng.integers(60, len(seq) - 60, 2)}
+        rs, _ = make_sample(seq, rng, read_len=100, depth=330,
+                            major_positions=majors,
+                            minor_positions={int(rng.integers(60, len(seq) - 60)): 0.2},
+                            error_rate=0.003)
+        reads.extend(rs)
+    fq = str(tmp_path / "multi.fastq.gz")
+    write_fastq(fq, reads)
+
+    kmer_counts = _count_oracle(reads, k)
+    want_lines, want_name = _oracle_vcf_lines(files, kmer_counts, k)
+    got_lines, got_name = _engine_vcf_lines(tmp_path, [p], fq, "mc")
+
+    assert got_name == want_name
+    assert got_lines == want_lines
+    assert len(got_lines) >= 2
