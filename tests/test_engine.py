@@ -140,6 +140,53 @@ def test_keep_kmer_info_and_isolation(synth, tmp_path):
     assert len(line[0]) == 21 and int(line[1]) >= cfg.min_kmers
 
 
+def test_cohort_scale_prefetch_and_isolation(synth, tmp_path, monkeypatch):
+    """A 16-sample cohort through the prefetch pipeline with interleaved
+    failure modes (missing file, truncated gzip, malformed FASTQ, empty
+    file), two count workers, and a deliberately tiny inflate-ahead
+    budget (forces budget-skip + inline inflate). All good samples must
+    produce summaries, identical inputs must produce byte-identical VCFs,
+    and the overview must carry exactly the successes."""
+    tmp, ref, fq, genome, alts = synth
+    out = str(tmp_path / "out_cohort")
+    good = []
+    for i in range(12):
+        p = str(tmp_path / f"c{i}.fastq.gz")
+        with open(fq, "rb") as src, open(p, "wb") as dst:
+            dst.write(src.read())
+        good.append(p)
+    missing = str(tmp_path / "missing.fastq.gz")
+    truncated = str(tmp_path / "trunc.fastq.gz")
+    with open(fq, "rb") as src, open(truncated, "wb") as dst:
+        dst.write(src.read()[:200])  # mid-stream cut: corrupt gzip
+    malformed = str(tmp_path / "bad.fastq.gz")
+    with gzip.open(malformed, "wt") as fh:
+        fh.write("this is not\na fastq at all\n")
+    empty = str(tmp_path / "empty.fastq.gz")
+    with gzip.open(empty, "wt") as fh:
+        fh.write("")
+
+    reads = (good[:3] + [missing] + good[3:6] + [truncated] + good[6:9]
+             + [malformed] + good[9:] + [empty])
+    monkeypatch.setenv("BRONKO_COUNT_WORKERS", "2")
+    monkeypatch.setenv("BRONKO_INFLATE_BUDGET", str(64 << 10))  # 64 KB
+    cfg = small_cfg(genomes=[ref], reads=reads, output=out)
+    index = build_index(cfg.kmer, [ref])
+    dev = build_device_index(index)
+    summaries = run_call(cfg, index, dev)
+    # empty counts zero kmers -> "Unable to pick a best genome" -> isolated
+    assert len(summaries) == len(good)
+    vcfs = sorted(f for f in os.listdir(out) if f.endswith(".vcf"))
+    assert len(vcfs) == len(good)
+    bodies = set()
+    for v in vcfs:  # identical inputs => identical data lines
+        with open(os.path.join(out, v)) as fh:
+            bodies.add("".join(ln for ln in fh if not ln.startswith("#")))
+    assert len(bodies) == 1 and next(iter(bodies)).strip()
+    with open(os.path.join(out, "bronko_overview.tsv")) as fh:
+        assert len(fh.readlines()) == 1 + len(good)
+
+
 def test_large_panel_flat_tally(tmp_path):
     """>8 genomes forces the flat tally fallback (no histogram); results
     must match the small-panel semantics (selection + variant calls)."""
