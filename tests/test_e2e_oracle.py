@@ -148,6 +148,96 @@ def test_engine_equals_composed_oracle(tmp_path, seed, n_g, glen, depth,
         assert len(got_lines) >= 1
 
 
+def test_engine_equals_oracle_paired(tmp_path):
+    """Paired-end composition: the reference counts R1 and R2 as SEPARATE
+    k-mer streams (two KMC runs) and maps both into shared pileups
+    (call.rs:301-320) — a k-mer present in both mates scatters twice with
+    each mate's own count (depth max per entry, +1 count per entry). The
+    oracle reproduces that by concatenating the two counted streams as
+    independent entries; the engine's concatenated-stream path must
+    match byte-for-byte."""
+    rng = np.random.default_rng(44)
+    k = 21
+    files = []
+    fasta_paths = []
+    for g in range(2):
+        seq = make_genome(rng, 600 + 50 * g)
+        p = str(tmp_path / f"pg{g}.fasta")
+        write_fasta(p, f"seq{g}", seq)
+        fasta_paths.append(p)
+        files.append((f"pg{g}", [(f"seq{g}", seq)]))
+    genome = files[0][1][0][1]
+    L = len(genome)
+    majors = {int(q): 0.88 for q in rng.integers(50, L - 50, 2)}
+    minors = {int(rng.integers(50, L - 50)): 0.22}
+    r1, _ = make_sample(genome, rng, read_len=100, depth=180,
+                        major_positions=majors, minor_positions=minors,
+                        error_rate=0.003)
+    r2, _ = make_sample(genome, rng, read_len=100, depth=180,
+                        major_positions=majors, minor_positions=minors,
+                        error_rate=0.003)
+    fq1 = str(tmp_path / "p_R1.fastq.gz")
+    fq2 = str(tmp_path / "p_R2.fastq.gz")
+    write_fastq(fq1, r1)
+    write_fastq(fq2, r2)
+
+    kmer_counts = _count_oracle(r1, k) + _count_oracle(r2, k)
+    want_lines, want_name = _oracle_vcf_lines(files, kmer_counts, k)
+
+    out = str(tmp_path / "out_paired")
+    cfg = CallConfig(genomes=fasta_paths, first_pairs=[fq1],
+                     second_pairs=[fq2], output=out,
+                     batch_size=4096, chunk_reads=8192)
+    index = build_index(cfg.kmer, fasta_paths)
+    run_call(cfg, index, build_device_index(index))
+    vcf = [f for f in os.listdir(out) if f.endswith(".vcf")]
+    assert len(vcf) == 1
+    with open(os.path.join(out, vcf[0])) as fh:
+        got_lines = [ln.rstrip("\n") for ln in fh if not ln.startswith("#")]
+    with open(os.path.join(out, "bronko_overview.tsv")) as fh:
+        fh.readline()
+        got_name = fh.readline().split("\t")[1]
+
+    assert got_name == want_name
+    assert got_lines == want_lines
+    assert len(got_lines) >= 1  # non-vacuous (filters may eat some plants)
+
+
+def test_engine_equals_oracle_with_n_bases(tmp_path):
+    """Reads containing N: the counter must drop every window that covers
+    an N (KMC behavior); the oracle counter does the same, so the VCFs
+    must still agree exactly."""
+    rng = np.random.default_rng(55)
+    k = 21
+    seq = make_genome(rng, 550)
+    p = str(tmp_path / "ng.fasta")
+    write_fasta(p, "seqN", seq)
+    files = [("ng", [("seqN", seq)])]
+    majors = {int(q): 0.9 for q in rng.integers(50, 500, 2)}
+    reads, _ = make_sample(seq, rng, read_len=100, depth=340,
+                           major_positions=majors,
+                           minor_positions={260: 0.18}, error_rate=0.003)
+    # sprinkle N into ~20% of reads at random offsets
+    noisy = []
+    for r in reads:
+        if rng.random() < 0.2:
+            b = bytearray(r)
+            for _ in range(int(rng.integers(1, 4))):
+                b[int(rng.integers(0, len(b)))] = ord("N")
+            r = bytes(b)
+        noisy.append(r)
+    fq = str(tmp_path / "n.fastq.gz")
+    write_fastq(fq, noisy)
+
+    kmer_counts = _count_oracle(noisy, k)
+    want_lines, want_name = _oracle_vcf_lines(files, kmer_counts, k)
+    got_lines, got_name = _engine_vcf_lines(tmp_path, [p], fq, "nb")
+
+    assert got_name == want_name
+    assert got_lines == want_lines
+    assert len(got_lines) >= 1
+
+
 def test_engine_equals_oracle_multicontig(tmp_path):
     """Best file with two contigs: per-sequence noise windows, per-contig
     VCF ordering, and contig-local coordinates all composed."""
