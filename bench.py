@@ -201,11 +201,11 @@ def _measure_ceilings(sort_lanes: int, gather_lanes: int) -> tuple[float, float]
             np.asarray(r[:4])
             ts.append(time.time() - t0)
         gather_ns = min(ts[1:]) / max(gather_lanes, 1) * 1e9
-        return round(sort_ns, 2), round(gather_ns, 2)
+        return round(sort_ns, 2), round(gather_ns, 2), True
     except Exception as e:  # noqa: BLE001
         print(f"# ceiling measurement failed ({e!r}); using fallback constants",
               file=sys.stderr)
-        return SORT_NS_PER_LANE, GATHER_NS_PER_LANE
+        return SORT_NS_PER_LANE, GATHER_NS_PER_LANE, False
 
 
 def _tpu_scale_sweep(index, dev, cfg, fastq, full_map_s: float) -> dict | None:
@@ -365,9 +365,10 @@ def _pipeline_main():
     random_accesses = r["probe_lanes"] + 4 * r["scatter_lanes"]
     sort_lanes = r["sort_lanes"]
     if platform == "cpu":
-        sort_ns, gather_ns = SORT_NS_PER_LANE, GATHER_NS_PER_LANE
+        sort_ns, gather_ns, measured = SORT_NS_PER_LANE, GATHER_NS_PER_LANE, False
     else:
-        sort_ns, gather_ns = _measure_ceilings(sort_lanes, random_accesses)
+        sort_ns, gather_ns, measured = _measure_ceilings(sort_lanes,
+                                                         random_accesses)
     sort_sol_s = 2 * sort_lanes * sort_ns * 1e-9
     sol_s = sort_sol_s + random_accesses * gather_ns * 1e-9
     roofline_pct = 100.0 * sol_s / map_s if map_s > 0 else 0.0
@@ -404,8 +405,8 @@ def _pipeline_main():
             random_accesses=random_accesses,
             gather_ns_per_lane=gather_ns,
             sort_ns_per_lane=sort_ns,
-            ceilings="measured this session" if platform != "cpu"
-                     else "fallback constants",
+            ceilings="measured this session" if measured
+                     else "fallback constants (measurement unavailable)",
             sort_speed_of_light_s=round(sort_sol_s, 4),
             speed_of_light_s=round(sol_s, 4),
             device_map_s=round(map_s, 4),

@@ -265,17 +265,19 @@ bool parse_dynamic(BitReader& br, Huff& lit, Huff& dist) {
   return br.bit_offset() <= br.n * 8;
 }
 
-void build_static(Huff& lit, Huff& dist) {
+bool build_static(Huff& lit, Huff& dist) {
   uint8_t lens[288];
   for (int i = 0; i < 144; ++i) lens[i] = 8;
   for (int i = 144; i < 256; ++i) lens[i] = 9;
   for (int i = 256; i < 280; ++i) lens[i] = 7;
   for (int i = 280; i < 288; ++i) lens[i] = 8;
-  lit.build(lens, 288, false);  // the two unused 8-bit codes make it
-                                // formally complete anyway
-  uint8_t dl[30];
-  for (int i = 0; i < 30; ++i) dl[i] = 5;
-  dist.build(dl, 30, false);
+  // RFC 1951 3.2.6: the fixed distance code is THIRTY-TWO 5-bit codes —
+  // 30-31 never appear in valid data but are part of the code space (a
+  // 30-entry build is an incomplete code and fails). decode_huff_block's
+  // ds > 29 check rejects the two reserved symbols.
+  uint8_t dl[32];
+  for (int i = 0; i < 32; ++i) dl[i] = 5;
+  return lit.build(lens, 288, true) && dist.build(dl, 32, true);
 }
 
 // Speculative decode sink.
@@ -291,9 +293,8 @@ void build_static(Huff& lit, Huff& dist) {
 // bytes), so a sparse fixup list degenerates; the dense u16 stream +
 // a branchless translation pass at assembly is the pugz representation.
 //
-// CLEAN mode: chunk 0 (no markers can exist) emits plain bytes into the
-// same buffer's low halves... no — it simply uses the byte fast path
-// below over a char buffer; see push_lit8/copy8.
+// CLEAN mode: chunk 0 (no markers can exist) emits plain bytes into a
+// char buffer and copies matches from it directly.
 struct ChunkSink {
   std::vector<uint16_t> syms;  // tainted-mode output (manually sized)
   std::vector<char> bytes;     // clean-mode output (chunk 0)
@@ -444,7 +445,7 @@ size_t find_anchor(const uint8_t* d, size_t n, size_t start_byte,
     if (br.get(2) != 2) continue;
     Huff lit, dist;
     if (!parse_dynamic(br, lit, dist)) continue;
-    probe.init(true);  // resets len/fixes/ring; keeps buffer capacity
+    probe.init(true);  // resets len; keeps buffer capacity across tries
     int rc = decode_huff_block(br, lit, dist, probe, false, kProbeCap);
     if (rc < 0) continue;
     return bit;
@@ -489,7 +490,7 @@ void decode_chunk(const uint8_t* d, size_t n, size_t anchor,
     if (btype == 0) {
       rc = decode_stored_block(br, out.sink);
     } else if (btype == 1) {
-      build_static(lit, dist);
+      if (!build_static(lit, dist)) break;
       // a cap hit returns 1 -> `rc != 0` -> failure (unlike probing)
       rc = decode_huff_block(br, lit, dist, out.sink, first_chunk, out_cap);
     } else if (btype == 2) {
@@ -529,14 +530,14 @@ int env_mode() {
   return 1;
 }
 
-size_t min_size() {
-  const char* e = getenv("BRONKO_PARALLEL_GZ_MIN");
+size_t env_size(const char* name, size_t dflt) {
+  const char* e = getenv(name);
   if (e) {
     char* end = nullptr;
     unsigned long long v = strtoull(e, &end, 10);
     if (end && end != e) return (size_t)v;
   }
-  return 4u << 20;
+  return dflt;
 }
 
 template <class F>
@@ -562,7 +563,7 @@ bool parallel_inflate(const uint8_t* in, size_t n, std::vector<char>& out) {
   int mode = env_mode();
   unsigned hw = std::thread::hardware_concurrency();
   if (mode == 0 || (mode < 0 && hw < 8)) return false;
-  if (n < min_size()) return false;
+  if (n < env_size("BRONKO_PARALLEL_GZ_MIN", 4u << 20)) return false;
   size_t hdr = parse_gzip_header(in, n);
   if (!hdr) return false;
 
@@ -596,13 +597,8 @@ bool parallel_inflate(const uint8_t* in, size_t n, std::vector<char>& out) {
   size_t out_cap = (size_t)isize_hint + (64u << 10);
   // u16 symbol streams hold ~2x the inflated size while chunks are in
   // flight; bound the peak (BRONKO_PARALLEL_GZ_MAX_OUT overrides)
-  size_t max_out = 512u << 20;
-  if (const char* e = getenv("BRONKO_PARALLEL_GZ_MAX_OUT")) {
-    char* end = nullptr;
-    unsigned long long v = strtoull(e, &end, 10);
-    if (end && end != e) max_out = (size_t)v;
-  }
-  if ((size_t)isize_hint > max_out) return false;
+  if ((size_t)isize_hint > env_size("BRONKO_PARALLEL_GZ_MAX_OUT", 512u << 20))
+    return false;
 
   // speculative decode (parallel)
   std::vector<ChunkResult> res(nchunks);

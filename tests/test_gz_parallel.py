@@ -155,6 +155,65 @@ def test_counter_end_to_end_with_parallel_inflate(tmp_path, fastq_text):
     assert s1 == s2
 
 
+def test_static_huffman_blocks(tmp_path):
+    """Z_FIXED forces static-Huffman (btype=1) blocks. The fixed DISTANCE
+    code is 32 five-bit codes (RFC 1951 3.2.6) — a 30-entry table is an
+    incomplete code; building it wrong silently aborted every parallel
+    attempt containing a static block. The stream still needs dynamic
+    blocks for anchors, so interleave: chunk 0 decodes from the true
+    start and must chew through the static-block prefix."""
+    text = _fastq_text(100_000, seed=4)
+    half = len(text) // 2
+    co = zlib.compressobj(6, zlib.DEFLATED, 31, 8, zlib.Z_FIXED)
+    part_fixed = co.compress(text[:half]) + co.flush()
+    path = str(tmp_path / "fixed.fastq.gz")
+    with open(path, "wb") as f:  # member 1: static blocks only
+        f.write(part_fixed)
+        f.write(gzip.compress(text[half:], 6))
+    # multi-member -> serial path; proves serial-equality baseline
+    data, _ = _inflate(path)
+    assert data == text
+
+    # single member, all static blocks: no dynamic anchors exist, so the
+    # parallel path must cleanly fall back — byte-exact either way
+    path2 = str(tmp_path / "fixed_only.fastq.gz")
+    co = zlib.compressobj(6, zlib.DEFLATED, 31, 8, zlib.Z_FIXED)
+    with open(path2, "wb") as f:
+        f.write(co.compress(text) + co.flush())
+    data2, _ = _inflate(path2)
+    assert data2 == text
+
+
+def test_static_blocks_on_parallel_path(tmp_path, fastq_text):
+    """Regression for the 30-vs-32-entry fixed distance code: a crafted
+    single-member gzip whose stream STARTS with static-Huffman blocks
+    (Z_FIXED, sync-flushed, no BFINAL) and continues with a large dynamic
+    region. Chunk boundaries land in the dynamic region (anchors exist),
+    so the parallel path engages — and chunk 0 must decode the static
+    prefix correctly or the whole attempt aborts/corrupts."""
+    text = fastq_text
+    prefix_len = 64 << 10  # small static prefix; boundaries stay dynamic
+    co1 = zlib.compressobj(6, zlib.DEFLATED, -15, 8, zlib.Z_FIXED)
+    d1 = co1.compress(text[:prefix_len]) + co1.flush(zlib.Z_SYNC_FLUSH)
+    co2 = zlib.compressobj(6, zlib.DEFLATED, -15, 8)
+    d2 = co2.compress(text[prefix_len:]) + co2.flush()
+    # (co2's fresh window never references the prefix, so the concatenated
+    # raw deflate stream is valid; decoders keep one continuous window)
+    import struct
+
+    blob = (b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03" + d1 + d2 +
+            struct.pack("<II", zlib.crc32(text) & 0xFFFFFFFF,
+                        len(text) & 0xFFFFFFFF))
+    path = str(tmp_path / "mixed.fastq.gz")
+    with open(path, "wb") as f:
+        f.write(blob)
+    with gzip.open(path, "rb") as f:
+        assert f.read() == text  # the crafted stream itself is valid
+    data, ran = _inflate(path)
+    assert data == text
+    assert ran == 1, "parallel path should engage on the dynamic region"
+
+
 def test_zlib_stream_level0_stored(tmp_path):
     """compresslevel=0 emits stored blocks only: no anchors, serial path,
     byte-exact."""
