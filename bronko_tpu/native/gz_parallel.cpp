@@ -365,12 +365,31 @@ int decode_huff_block(BitReader& br, const Huff& lit, const Huff& dist,
   const size_t in_bits = br.n * 8;
   for (;;) {
     // one refill covers the worst-case symbol: litlen 15 + len-extra 5 +
-    // dist 15 + dist-extra 13 = 48 bits
+    // dist 15 + dist-extra 13 = 48 bits — and, on the literal fast path,
+    // up to two more <=10-bit literals from the same 64-bit buffer
     br.fill();
+    co.ensure(4);  // single slack reservation for the fast literals below
+    uint16_t e = lit.fast[br.peek(kFastBits)];
+    if (e && (e >> 4) < 256) {  // literal via fast table: chain a couple
+      br.consume(e & 15);       // more from the already-filled buffer
+      co.push_lit((uint8_t)(e >> 4));
+      e = lit.fast[br.peek(kFastBits)];
+      if (e && (e >> 4) < 256) {
+        br.consume(e & 15);
+        co.push_lit((uint8_t)(e >> 4));
+        e = lit.fast[br.peek(kFastBits)];
+        if (e && (e >> 4) < 256) {
+          br.consume(e & 15);
+          co.push_lit((uint8_t)(e >> 4));
+        }
+      }
+      if (co.len >= out_cap) return 1;
+      if (br.bit_offset() > in_bits) return -1;
+      continue;
+    }
     int s = lit.decode(br);
     if (s < 0) return -1;
     if (s < 256) {
-      co.ensure(1);
       co.push_lit((uint8_t)s);
     } else if (s == 256) {
       return br.bit_offset() <= in_bits ? 0 : -1;
