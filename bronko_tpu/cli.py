@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default=consts.DEFAULT_KMER_SIZE, help="Kmer size")
     b.add_argument("-o", "--output", default=consts.DEFAULT_INDEX_OUTPUT,
                    help="Name of index file (.bkdb will be added)")
+    b.add_argument("--format", dest="bkdb_format", choices=("npz", "bincode"),
+                   default="npz",
+                   help="Database format: npz (bronko-tpu native, "
+                        "device-ready) or bincode (readable by the "
+                        "reference bronko binary; bronko-tpu reads both)")
     _add_common(b)
 
     c = sub.add_parser("call", help="Perform rapid viral variant calling")
@@ -133,7 +138,12 @@ def run_build(cfg: BuildConfig) -> None:
     import logging
 
     logging.getLogger("bronko").info("Saving index to %s", out)
-    save_index(out, index)
+    if cfg.bkdb_format == "bincode":
+        from bronko_tpu.index.bincode_compat import save_reference_bkdb
+
+        save_reference_bkdb(index, out)
+    else:
+        save_index(out, index)
 
 
 def run_call_cmd(cfg: CallConfig) -> None:
@@ -198,6 +208,7 @@ def main(argv: list[str] | None = None) -> int:
         cfg = BuildConfig(
             genomes=args.genomes, kmer=args.kmer, output=args.output,
             threads=args.threads, debug=args.debug, verbose=args.verbose,
+            bkdb_format=args.bkdb_format,
         )
         run_build(cfg)
     else:

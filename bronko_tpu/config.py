@@ -42,6 +42,7 @@ class BuildConfig:
     threads: int = 4
     debug: bool = False
     verbose: bool = False
+    bkdb_format: str = "npz"  # 'bincode' = reference-binary-readable
 
     def validate(self) -> None:
         _check_k(self.kmer)

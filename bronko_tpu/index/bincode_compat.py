@@ -138,6 +138,90 @@ def load_reference_bkdb(path: str) -> BronkoIndex:
                        post_loc=post_loc, post_meta=post_meta, files=files)
 
 
+class _Writer:
+    __slots__ = ("parts",)
+
+    def __init__(self) -> None:
+        self.parts: list[bytes] = []
+
+    def byte(self, v: int) -> None:
+        self.parts.append(bytes((v,)))
+
+    def varint(self, v: int) -> None:
+        # bincode 2 standard config: magnitude-based variable encoding
+        if v < 251:
+            self.parts.append(bytes((v,)))
+        elif v < (1 << 16):
+            self.parts.append(b"\xfb" + struct.pack("<H", v))
+        elif v < (1 << 32):
+            self.parts.append(b"\xfc" + struct.pack("<I", v))
+        else:
+            self.parts.append(b"\xfd" + struct.pack("<Q", v))
+
+    def string(self, s: str) -> None:
+        b = s.encode()
+        self.varint(len(b))
+        self.parts.append(b)
+
+
+def save_reference_bkdb(index: BronkoIndex, path: str) -> None:
+    """Write a reference-format (bincode) .bkdb the reference binary can
+    load — the inverse of load_reference_bkdb, completing two-way
+    database interop (build here, call there, or vice versa).
+
+    Buckets are emitted in sorted-key order (the reference deserializes
+    into a HashMap, so order is semantically irrelevant); postings keep
+    their in-bucket order. The reference's BucketInfo stores seq_id as u8
+    (build.rs:55) — an index using bronko-tpu's extended 10-bit seq ids
+    (>256 contigs per file) cannot be represented and raises ValueError."""
+    from bronko_tpu.index.model import (
+        CANON_SHIFT, FILE_MASK, FILE_SHIFT, IDX_MASK, SEQ_MASK, SEQ_SHIFT,
+    )
+
+    meta = index.post_meta
+    p_idx = (meta & IDX_MASK).astype(np.int64)
+    p_seq = ((meta >> SEQ_SHIFT) & SEQ_MASK).astype(np.int64)
+    p_fid = ((meta >> FILE_SHIFT) & FILE_MASK).astype(np.int64)
+    p_can = ((meta >> CANON_SHIFT) & 1).astype(np.int64)
+    if meta.size and int(p_seq.max()) > 0xFF:
+        raise ValueError(
+            "index uses >256 sequences per file; the reference .bkdb "
+            "format stores seq_id as u8 and cannot represent it")
+
+    w = _Writer()
+    w.varint(int(index.k))
+    U = int(index.keys.shape[0])
+    w.varint(U)
+    keys = index.keys
+    offsets = index.offsets
+    loc = index.post_loc
+    for i in range(U):
+        w.varint(int(keys[i]))
+        lo, hi = int(offsets[i]), int(offsets[i + 1])
+        w.varint(hi - lo)
+        for j in range(lo, hi):
+            w.varint(int(p_fid[j]))   # u16
+            w.byte(int(p_seq[j]))     # u8
+            w.varint(int(loc[j]))     # u32
+            w.byte(int(p_idx[j]))     # u8
+            w.byte(int(p_can[j]))     # bool
+    w.varint(len(index.files))
+    for f in index.files:
+        w.string(f.name)
+        w.varint(len(f.sequences))
+        for s in f.sequences:
+            w.string(s.name)
+            w.varint(int(s.length))
+            sb = bytes(s.seq)
+            w.varint(len(sb))
+            w.parts.append(sb)
+    w.varint(int(index.k))  # ViralMetadata.k (build.rs:49)
+
+    out = path if path.endswith(".bkdb") else path + ".bkdb"
+    with open(out, "wb") as fh:
+        fh.write(b"".join(w.parts))
+
+
 def sniff_format(path: str) -> str:
     """'npz' for bronko-tpu databases, 'bincode' for reference databases."""
     with open(path, "rb") as fh:

@@ -110,3 +110,31 @@ def test_reference_bkdb_compat(tmp_path):
     assert summaries[0].selected_genome == "HPV16"
     vcf = open(os.path.join(out, "h.vcf")).read()
     assert "\t3001\t" in vcf
+
+
+def test_reference_bkdb_writer_roundtrip(tmp_path):
+    """save_reference_bkdb is load_reference_bkdb's inverse on the REAL
+    reference fixture: load the reference binary's hpv.bkdb, re-emit it
+    in bincode, reload, and every array + metadata field must be
+    identical (byte-identity with the original file is NOT expected —
+    the reference serializes hashmap iteration order; we emit sorted
+    keys, which its HashMap deserialization is indifferent to)."""
+    from bronko_tpu.index.bincode_compat import (
+        load_reference_bkdb, save_reference_bkdb, sniff_format,
+    )
+
+    idx = load_reference_bkdb(os.path.join(FIXTURES, "hpv.bkdb"))
+    out = str(tmp_path / "rt.bkdb")
+    save_reference_bkdb(idx, out)
+    assert sniff_format(out) == "bincode"
+    idx2 = load_reference_bkdb(out)
+    assert idx2.k == idx.k
+    assert np.array_equal(idx2.keys, idx.keys)
+    assert np.array_equal(idx2.offsets, idx.offsets)
+    assert np.array_equal(idx2.post_loc, idx.post_loc)
+    assert np.array_equal(idx2.post_meta, idx.post_meta)
+    assert [f.name for f in idx2.files] == [f.name for f in idx.files]
+    for f2, f1 in zip(idx2.files, idx.files):
+        for s2, s1 in zip(f2.sequences, f1.sequences):
+            assert (s2.name, s2.length, bytes(s2.seq)) == \
+                   (s1.name, s1.length, bytes(s1.seq))
