@@ -644,7 +644,10 @@ def _finish_one(
 
     from bronko_tpu.parallel.distributed import is_primary
 
-    if is_primary():  # multi-host: every process computes, rank 0 writes
+    # multi-host SPMD: every process computes the same sample, rank 0
+    # writes. Sample-sharded cohorts: each process OWNS its samples and
+    # writes their files itself (shared output filesystem).
+    if is_primary() or cfg.shard_samples:
         if cfg.output_pileup:
             write_pileup(cfg.output, display_path, index.files[best], seq_pileups)
         write_vcf(cfg.output, display_path, records, index.files[best])
@@ -930,6 +933,24 @@ def _run_call_inner(cfg: CallConfig, index: BronkoIndex,
         [r1, r2] for r1, r2 in zip(cfg.first_pairs, cfg.second_pairs)
     ]
 
+    # sample-sharded cohort mode: partition whole samples round-robin
+    # across processes — zero per-sample collectives, throughput scales
+    # with host count (counting AND mapping); summaries gather at the end
+    # so rank 0 can write the global overview/alignment in input order
+    import jax as _jax
+
+    n_total_jobs = len(jobs)
+    shard_samples = cfg.shard_samples and _jax.process_count() > 1
+    if shard_samples:
+        rank, n_proc = _jax.process_index(), _jax.process_count()
+        job_indices = list(range(n_total_jobs))[rank::n_proc]
+        jobs = [jobs[i] for i in job_indices]
+        log.info("sample-sharded cohort: process %d/%d owns %d of %d samples",
+                 rank, n_proc, len(jobs), n_total_jobs)
+    else:
+        job_indices = list(range(n_total_jobs))
+    global_index = {job[0]: g for job, g in zip(jobs, job_indices)}
+
     # host counting (C++, GIL-free) prefetches upcoming samples while the
     # device maps the current one — the reference's rayon-join concurrency
     # (call.rs:301-307) generalized across the sample stream. ONE count at a
@@ -1127,12 +1148,35 @@ def _run_call_inner(cfg: CallConfig, index: BronkoIndex,
                 log.exception("Sample %s failed; continuing with remaining samples", display)
                 failures.append(display)
 
+    if shard_samples:
+        # assemble the GLOBAL result set on every process (rank 0 writes
+        # overview/alignment; everyone needs it for the exit decision)
+        import pickle
+
+        from bronko_tpu.parallel.distributed import allgather_bytes
+
+        payload = pickle.dumps({
+            "rows": [(global_index[s.filename], s, vi)
+                     for s, vi in zip(summaries, variant_info)],
+            "failures": [(global_index.get(f, 1 << 30), f) for f in failures],
+        })
+        rows: list = []
+        fails: list = []
+        for part in allgather_bytes(payload):
+            d = pickle.loads(part)
+            rows.extend(d["rows"])
+            fails.extend(d["failures"])
+        rows.sort(key=lambda t: t[0])
+        summaries = [s for _, s, _ in rows]
+        variant_info = [vi for _, _, vi in rows]
+        failures = [f for _, f in sorted(fails)]
+
     if failures and not summaries:
         log.error("All samples failed")
         raise SystemExit(1)
     if failures:
         log.warning("%d of %d samples processed; failed: %s",
-                    len(summaries), len(jobs), ", ".join(failures))
+                    len(summaries), n_total_jobs, ", ".join(failures))
 
     from bronko_tpu.parallel.distributed import is_primary
 

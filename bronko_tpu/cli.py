@@ -111,6 +111,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="K-mer counter: host C++ hash, device TPU sort, or auto")
     c.add_argument("--mesh", default=None,
                    help="Device mesh 'DxG' (data-parallel x genome shards), e.g. 4x2")
+    c.add_argument("--shard-samples", dest="shard_samples", action="store_true",
+                   help="Multi-host cohorts: partition samples across "
+                        "processes (each host runs its share end-to-end; "
+                        "rank 0 writes overview/alignment). Exclusive "
+                        "with --mesh; assumes a shared output filesystem")
     c.add_argument("--profile-dir", dest="profile_dir", default=None,
                    help="Write a jax.profiler trace of the run to this directory")
     c.add_argument("--device-build", dest="device_build", default="auto",

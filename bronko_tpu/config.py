@@ -105,6 +105,12 @@ class CallConfig:
     #  on-chip from ~1MB of genome codes instead of uploading the host-built
     #  arrays (auto = on for TPU backends; forced off under --mesh, whose
     #  splitter needs the host arrays)
+    shard_samples: bool = False  # multi-host cohort mode: PARTITION samples
+    #  round-robin across processes (each runs the single-host pipeline on
+    #  its share and writes its own VCF/pileup; summaries gather to every
+    #  process and rank 0 writes overview/alignment). Higher cohort
+    #  throughput than SPMD-within-sample: zero per-sample collectives.
+    #  Assumes a shared output filesystem; exclusive with --mesh.
 
     def validate(self) -> None:  # mirrors call.rs:30-136
         _check_k(self.kmer)
@@ -188,6 +194,10 @@ class CallConfig:
             parts = self.mesh.split("x")
             if len(parts) != 2 or not all(p.isdigit() and int(p) > 0 for p in parts):
                 _fatal(f"Invalid mesh '{self.mesh}' (expected DxG, e.g. 4x2)")
+            if self.shard_samples:
+                _fatal("--shard-samples partitions whole samples per process "
+                       "and cannot combine with --mesh (which spans every "
+                       "process's devices within one sample)")
 
 
 def setup_logging(debug: bool, verbose: bool) -> None:

@@ -76,6 +76,27 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def allgather_bytes(data: bytes) -> list[bytes]:
+    """Gather one byte payload from every process; returns them in process
+    order (single-process: [data]). Two rounds over the collective
+    runtime: lengths first (so every process can pad to the common max),
+    then the padded buffers. Used by the sample-sharded cohort mode to
+    assemble the global overview/alignment inputs on every process."""
+    import jax
+
+    if jax.process_count() == 1:
+        return [data]
+    import numpy as np
+    from jax.experimental import multihost_utils as mhu
+
+    lens = np.asarray(mhu.process_allgather(np.int64(len(data)))).reshape(-1)
+    m = int(lens.max())
+    buf = np.zeros(max(m, 1), np.uint8)
+    buf[:len(data)] = np.frombuffer(data, np.uint8)
+    gathered = np.asarray(mhu.process_allgather(buf))
+    return [gathered[i, :int(lens[i])].tobytes() for i in range(len(lens))]
+
+
 def globalize(arr, mesh, spec):
     """Turn a host-local numpy/jnp array (identical on every process) into a
     global jax.Array sharded per `spec` over `mesh`.

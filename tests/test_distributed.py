@@ -114,6 +114,102 @@ def test_two_process_engine_byte_identical(tmp_path):
         assert a == b, fname
 
 
+def _make_cohort(tmp: str) -> list[str]:
+    sys.path.insert(0, REPO)
+    from tests.make_synthetic import make_genome, make_sample, write_fasta, write_fastq
+
+    rng = np.random.default_rng(61)
+    genome = make_genome(rng, 1200)
+    ref = os.path.join(tmp, "cref.fasta")
+    write_fasta(ref, "cref", genome)
+    fqs = []
+    for i in range(4):
+        reads, _ = make_sample(genome, rng, read_len=80, depth=140,
+                               major_positions={250 + 90 * i: 0.9},
+                               error_rate=0.003)
+        p = os.path.join(tmp, f"cs{i}.fastq.gz")
+        write_fastq(p, reads)
+        fqs.append(p)
+    return fqs
+
+
+def _worker_shard(rank: int) -> None:
+    tmp = os.environ["BRONKO_TEST_TMP"]
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{PORT + 1}",
+        num_processes=2, process_id=rank)
+    import bronko_tpu  # noqa: F401
+    from bronko_tpu.call.engine import run_call
+    from bronko_tpu.config import CallConfig
+    from bronko_tpu.index.build import build_index
+    from bronko_tpu.index.layout import build_device_index
+
+    ref = os.path.join(tmp, "cref.fasta")
+    fqs = [os.path.join(tmp, f"cs{i}.fastq.gz") for i in range(4)]
+    cfg = CallConfig(genomes=[ref], reads=fqs,
+                     output=os.path.join(tmp, "out_shard"),
+                     shard_samples=True, batch_size=4096, chunk_reads=8192)
+    index = build_index(21, [ref])
+    summaries = run_call(cfg, index, build_device_index(index))
+    # after the gather every process holds the GLOBAL summary list
+    assert len(summaries) == 4, len(summaries)
+    print(f"shard worker {rank} ok: {len(summaries)} summaries", flush=True)
+
+
+def test_sample_sharded_cohort_byte_identical(tmp_path):
+    """--shard-samples: two processes each own two of four samples (no
+    mesh, zero per-sample collectives); the union of per-process VCFs and
+    the rank-0 overview must be byte-identical to one process running the
+    whole cohort."""
+    tmp = str(tmp_path)
+    fqs = _make_cohort(tmp)
+
+    from bronko_tpu.call.engine import run_call
+    from bronko_tpu.config import CallConfig
+    from bronko_tpu.index.build import build_index
+    from bronko_tpu.index.layout import build_device_index
+
+    ref = os.path.join(tmp, "cref.fasta")
+    index = build_index(21, [ref])
+    dev = build_device_index(index)
+    run_call(CallConfig(genomes=[ref], reads=fqs,
+                        output=os.path.join(tmp, "out_cohort_single"),
+                        batch_size=4096, chunk_reads=8192), index, dev)
+
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu", BRONKO_PLATFORM="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=4",
+               BRONKO_TEST_TMP=tmp, PYTHONPATH=REPO)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, HERE, "shard_worker", str(rank)], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for rank in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"shard worker {rank} failed:\n{out[-4000:]}"
+        assert f"shard worker {rank} ok" in out
+
+    names = [f"cs{i}.vcf" for i in range(4)] + ["bronko_overview.tsv"]
+    for fname in names:
+        a = open(os.path.join(tmp, "out_cohort_single", fname)).read()
+        b = open(os.path.join(tmp, "out_shard", fname)).read()
+        assert a == b, fname
+
+
 if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "worker":
     sys.path.insert(0, REPO)
     _worker(int(sys.argv[2]))
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "shard_worker":
+    sys.path.insert(0, REPO)
+    _worker_shard(int(sys.argv[2]))
