@@ -949,6 +949,10 @@ def _run_call_inner(cfg: CallConfig, index: BronkoIndex,
                  rank, n_proc, len(jobs), n_total_jobs)
     else:
         job_indices = list(range(n_total_jobs))
+    # keyed by display path (what SampleSummary carries). A cohort listing
+    # the same reads file twice collapses to one index — benign: identical
+    # inputs produce identical rows, so the gathered order among the
+    # duplicates cannot change any output byte
     global_index = {job[0]: g for job, g in zip(jobs, job_indices)}
 
     # host counting (C++, GIL-free) prefetches upcoming samples while the

@@ -343,6 +343,36 @@ def test_mesh_sharded_engine_batchwise(synth):
             open(os.path.join(out_1, fname)).read(), fname
 
 
+def test_mesh_sharded_engine_paired(synth, tmp_path):
+    """Paired-end + mesh: the concatenated mate k-mer stream shards over
+    the mesh like any batch stream; outputs must equal the single-device
+    paired run byte-for-byte."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 devices")
+    tmp, ref, fq, genome, alts = synth
+    rng = np.random.default_rng(29)
+    reads2, _ = make_sample(genome, rng, read_len=80, depth=300,
+                            major_positions={300: 0.92},
+                            minor_positions={700: 0.15}, error_rate=0.004)
+    fq2 = str(tmp_path / "mate2.fastq.gz")
+    write_fastq(fq2, reads2)
+    out_1 = str(tmp_path / "out_pair_single")
+    out_m = str(tmp_path / "out_pair_mesh")
+    index = build_index(21, [ref])
+    dev = build_device_index(index)
+    run_call(small_cfg(genomes=[ref], first_pairs=[fq], second_pairs=[fq2],
+                       output=out_1), index, dev)
+    run_call(small_cfg(genomes=[ref], first_pairs=[fq], second_pairs=[fq2],
+                       output=out_m, mesh="4x2"), index, dev)
+    for fname in ("samp.vcf", "bronko_overview.tsv"):
+        assert open(os.path.join(out_m, fname)).read() == \
+            open(os.path.join(out_1, fname)).read(), fname
+
+
 def test_mesh_sharded_engine_multigenome(tmp_path):
     """Mesh run on a 4-genome panel where reads pick genome 2: pass-2
     sharding must land on the right sub-index and stay byte-identical."""

@@ -214,6 +214,19 @@ def test_static_blocks_on_parallel_path(tmp_path, fastq_text):
     assert ran == 1, "parallel path should engage on the dynamic region"
 
 
+def test_auto_gate_by_core_count(tmp_path, fastq_text, monkeypatch):
+    """Unset BRONKO_PARALLEL_GZ = auto mode: engage only at >= 8 hardware
+    threads (serial libdeflate wins below that on measured hosts)."""
+    monkeypatch.delenv("BRONKO_PARALLEL_GZ", raising=False)
+    path = str(tmp_path / "auto.fastq.gz")
+    with open(path, "wb") as f:
+        f.write(gzip.compress(fastq_text, 1))
+    data, ran = _inflate(path)
+    assert data == fastq_text
+    if (os.cpu_count() or 1) < 8:
+        assert ran == 0, "auto mode must stay serial below 8 threads"
+
+
 def test_zlib_stream_level0_stored(tmp_path):
     """compresslevel=0 emits stored blocks only: no anchors, serial path,
     byte-exact."""
