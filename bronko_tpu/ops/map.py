@@ -366,13 +366,19 @@ def _probe_payload(kmers, counts, keys, payload, *, cfg: MapConfig):
 
 
 def _hist_hits(h, G: int):
-    """Unpack a (B, J) packed per-bucket genome histogram (8 bits/genome)
-    into (B, G) per-kmer hit counts. Per-bucket bytes can't overflow —
-    bucket size <= 255 — but a packed sum across J could, so unpack THEN
-    sum over buckets."""
-    shifts8 = jnp.arange(G, dtype=h.dtype) * h.dtype.type(8)
-    per_g = (h[..., None] >> shifts8) & h.dtype.type(0xFF)  # (B,J,G)
-    return per_g.sum(axis=1).astype(jnp.int32)              # (B,G)
+    """(B, J) packed per-bucket genome histogram (8 bits/genome) ->
+    (B, G) per-kmer hit counts. Summing the packed words directly could
+    carry across byte fields (J buckets x <=255 each), so the bytes first
+    WIDEN to 16-bit slots — even genomes in one masked word, odd in the
+    other — and the two words sum over J with headroom (J <= 31 so
+    fields stay < 2^13); no (B, J, G) intermediate materializes."""
+    even_mask = h.dtype.type(0x00FF00FF if h.dtype == jnp.int32
+                             else 0x00FF00FF00FF00FF)
+    lo = (h & even_mask).sum(axis=1)           # genomes 0,2,4,6 in 16-bit slots
+    hi = ((h >> h.dtype.type(8)) & even_mask).sum(axis=1)  # genomes 1,3,5,7
+    cols = [(((lo, hi)[g & 1]) >> ((g >> 1) * 16)).astype(jnp.int32) & 0xFFFF
+            for g in range(G)]
+    return jnp.stack(cols, axis=1)             # (B,G)
 
 
 def _hist_hits_words(hw, G: int):
@@ -564,10 +570,8 @@ def pileup_from_saved_jit(kmers, counts, ii_all, h_all, offsets, postings,
     bucket, asserted at index load). `best` and `file_base` are traced
     scalars, so one executable serves every selected genome."""
     k = cfg.k
-    G = cfg.num_genomes
     J = len(cfg.positions)
     T = cfg.total_len
-    g_ids = jnp.arange(G, dtype=jnp.int32)
 
     def body(carry, batch):
         pl, ov = carry
@@ -578,9 +582,17 @@ def pileup_from_saved_jit(kmers, counts, ii_all, h_all, offsets, postings,
 
         pc = _fold_pc(km, ct, cfg=cfg)
 
-        bytes_g = ((h[..., None] >> (g_ids * 8)) & 0xFF).astype(jnp.int32)  # (B,J,G)
-        lens = jnp.sum(jnp.where(g_ids == best, bytes_g, 0), axis=-1)
-        prefix = jnp.sum(jnp.where(g_ids < best, bytes_g, 0), axis=-1)
+        # the selected genome's byte is a direct dynamic shift; the bytes
+        # BELOW it (its in-bucket posting prefix) are a mask + fixed byte
+        # sum — no (B, J, G) broadcast materializes
+        one = h.dtype.type(1)
+        shift = (best * 8).astype(h.dtype)
+        lens = ((h >> shift) & h.dtype.type(0xFF)).astype(jnp.int32)
+        below = h & ((one << shift) - one)
+        prefix = jnp.zeros_like(lens)
+        for byte in range(h.dtype.itemsize):
+            prefix = prefix + (((below >> h.dtype.type(8 * byte))
+                                & h.dtype.type(0xFF)).astype(jnp.int32))
         startf = (offsets[ii_c] + prefix).reshape(N2).astype(jnp.int32)
         lensf = lens.reshape(N2)
 
