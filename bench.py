@@ -329,15 +329,28 @@ def _pipeline_main():
             key=lambda d: d["total_s"])
 
     # production batch mode: host counting of sample i+1 overlaps device
-    # mapping of sample i (run_call's prefetch pipeline) over THREE DISTINCT
-    # samples (different reads + planted variants; page cache warm either
-    # way after the warm lap — the host baseline subprocess runs the
-    # identical discipline, so the ratio stays like-for-like). Measured
-    # BEFORE the streamed runs: streaming's per-partition donated buffers
-    # fragment HBM through the serving relay and were observed to slow
-    # subsequent batch allocations.
-    n_batch = len(fastqs)
-    bcfg = CallConfig(genomes=None, db="bench", reads=list(fastqs),
+    # mapping of sample i (run_call's prefetch pipeline) over a NINE-sample
+    # cohort — three distinct samples (different reads + planted variants)
+    # x three file copies each, so the pipeline runs FILLED for most of
+    # the cohort (a 3-sample run pays the first sample's un-hidden host
+    # count across a third of its samples; measured 500k vs 610k reads/s
+    # sustained). Copies repeat content but not work: counting/mapping
+    # recompute per file, and the host baseline subprocess runs the
+    # identical 9-sample discipline, so the ratio stays like-for-like.
+    # Measured BEFORE the streamed runs: streaming's per-partition donated
+    # buffers fragment HBM through the serving relay and were observed to
+    # slow subsequent batch allocations.
+    import shutil
+
+    cohort = []
+    for c in range(3):
+        for s, fq_i in enumerate(fastqs):
+            p = os.path.join(CACHE, f"bcohort_{c}_{s}.fastq.gz")
+            if not os.path.exists(p):
+                shutil.copy(fq_i, p)
+            cohort.append(p)
+    n_batch = len(cohort)
+    bcfg = CallConfig(genomes=None, db="bench", reads=cohort,
                       output=os.path.join(CACHE, "out_batch"))
     batch_s = float("inf")
     for _ in range(4):  # best-of-4 damps host/relay contention noise
