@@ -521,7 +521,12 @@ def _map_one(
         J = len(mcfg.positions)
         has_hist = dev.hist is not None or dev.hist_words is not None
         W = dev.hist_words.shape[1] if dev.hist_words is not None else 0
-        per_q = 12 if dev.hist is not None else 4 + 8 * W
+        # saved probe = int32 row index + histogram payload per query; the
+        # single-word histogram is int32 for G<=4 panels (8 bytes/query,
+        # not 12 — a hardcoded 12 pushed small panels off the fast path
+        # at 2/3 of the real cap). Same formula as _stream_pass1.
+        per_q = (4 + dev.hist.dtype.itemsize if dev.hist is not None
+                 else 4 + 8 * W)
         probe_bytes = kj.shape[0] * kj.shape[1] * J * per_q
         if (sharded is None and has_hist and dev.fid_grouped
                 and probe_bytes < PROBE_BYTES_CAP):
@@ -949,11 +954,11 @@ def _run_call_inner(cfg: CallConfig, index: BronkoIndex,
                  rank, n_proc, len(jobs), n_total_jobs)
     else:
         job_indices = list(range(n_total_jobs))
-    # keyed by display path (what SampleSummary carries). A cohort listing
-    # the same reads file twice collapses to one index — benign: identical
-    # inputs produce identical rows, so the gathered order among the
-    # duplicates cannot change any output byte
-    global_index = {job[0]: g for job, g in zip(jobs, job_indices)}
+    # global positions are tracked EXPLICITLY per job (summary_gidx /
+    # failure_gidx, parallel to summaries/failures) — a display-path map
+    # would collapse e.g. the same file listed as both -r and a pair's -1
+    summary_gidx: list[int] = []
+    failure_gidx: list[int] = []
 
     # host counting (C++, GIL-free) prefetches upcoming samples while the
     # device maps the current one — the reference's rayon-join concurrency
@@ -979,15 +984,19 @@ def _run_call_inner(cfg: CallConfig, index: BronkoIndex,
             summary, vinfo = _process_one_stream(job[0], job, index, dev, cfg)
             summaries.append(summary)
             variant_info.append(vinfo)
+            summary_gidx.append(job_indices[0])
             log_memory_usage("Called variants successfully")
         except SystemExit:
             raise
         except Exception:  # noqa: BLE001
             log.exception("Sample %s failed", label)
             failures.append(job[0])
+            failure_gidx.append(job_indices[0])
         jobs_iter = []
+        iter_gidx: list[int] = []
     else:
         jobs_iter = jobs
+        iter_gidx = list(job_indices)
 
     from concurrent.futures import wait as _fwait
 
@@ -1012,7 +1021,9 @@ def _run_call_inner(cfg: CallConfig, index: BronkoIndex,
             and len(jobs_iter) > 1 and len(mcfg0.positions) > 0
             and _can_stream(cfg, dev, sharded)):
         stream_first = jobs_iter[0]
+        stream_first_gidx = iter_gidx[0]
         jobs_iter = jobs_iter[1:]
+        iter_gidx = iter_gidx[1:]
 
     # inflate-ahead worker: read+inflate upcoming samples' gzip on a
     # dedicated thread (the inflate is the count's single-threaded section,
@@ -1064,7 +1075,7 @@ def _run_call_inner(cfg: CallConfig, index: BronkoIndex,
             ThreadPoolExecutor(max_workers=1) as call_pool, \
             ThreadPoolExecutor(max_workers=1) as inflate_pool:
         futures: list = []
-        call_futs: list[tuple[str, object]] = []
+        call_futs: list[tuple[str, int, object]] = []  # (display, gidx, future)
 
         def _ensure_submitted(upto: int) -> None:
             while len(futures) < min(upto, len(jobs_iter)):
@@ -1088,7 +1099,7 @@ def _run_call_inner(cfg: CallConfig, index: BronkoIndex,
             log.info("Processing %s (streamed)", label)
             try:
                 result = _stream_pass1(stream_first, index, dev, cfg)
-                call_futs.append((display, call_pool.submit(
+                call_futs.append((display, stream_first_gidx, call_pool.submit(
                     _finish_one, display, index, dev, cfg, result)))
             except SystemExit:
                 raise
@@ -1096,6 +1107,7 @@ def _run_call_inner(cfg: CallConfig, index: BronkoIndex,
                 log.exception(
                     "Sample %s failed; continuing with remaining samples", label)
                 failures.append(display)
+                failure_gidx.append(stream_first_gidx)
 
         for ji, job in enumerate(jobs_iter):
             _ensure_submitted(ji + 1 + count_workers)
@@ -1131,26 +1143,29 @@ def _run_call_inner(cfg: CallConfig, index: BronkoIndex,
                 # (noise scan + caller + writes) overlap the NEXT sample's
                 # device phase; <=2 in flight bounds the live device pileups
                 if len(call_futs) >= 2:
-                    _fwait([call_futs[-2][1]])
-                call_futs.append((display, call_pool.submit(
+                    _fwait([call_futs[-2][2]])
+                call_futs.append((display, iter_gidx[ji], call_pool.submit(
                     _finish_one, display, index, dev, cfg, result)))
             except SystemExit:
                 raise
             except Exception:  # noqa: BLE001 — per-sample isolation
                 log.exception("Sample %s failed; continuing with remaining samples", label)
                 failures.append(display)
+                failure_gidx.append(iter_gidx[ji])
 
-        for display, cf in call_futs:
+        for display, gidx, cf in call_futs:
             try:
                 summary, vinfo = cf.result()
                 summaries.append(summary)
                 variant_info.append(vinfo)
+                summary_gidx.append(gidx)
                 log_memory_usage("Called variants successfully")
             except SystemExit:
                 raise
             except Exception:  # noqa: BLE001 — per-sample isolation
                 log.exception("Sample %s failed; continuing with remaining samples", display)
                 failures.append(display)
+                failure_gidx.append(gidx)
 
     if shard_samples:
         # assemble the GLOBAL result set on every process (rank 0 writes
@@ -1160,9 +1175,8 @@ def _run_call_inner(cfg: CallConfig, index: BronkoIndex,
         from bronko_tpu.parallel.distributed import allgather_bytes
 
         payload = pickle.dumps({
-            "rows": [(global_index[s.filename], s, vi)
-                     for s, vi in zip(summaries, variant_info)],
-            "failures": [(global_index.get(f, 1 << 30), f) for f in failures],
+            "rows": list(zip(summary_gidx, summaries, variant_info)),
+            "failures": list(zip(failure_gidx, failures)),
         })
         rows: list = []
         fails: list = []

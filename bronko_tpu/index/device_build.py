@@ -308,10 +308,11 @@ def device_build(index: BronkoIndex) -> DeviceIndex:
                       else build_index_from_files(k, files))
         host_dev = build_device_index(host_index)
         host_dev.ensure_subindex()
-        dev.g_keys = host_dev.g_keys
+        # g_keys LAST: ensure_subindex's lock-free completion gate
         dev.g_offsets = host_dev.g_offsets
         dev.g_postings = host_dev.g_postings
         dev.g_max_bucket = host_dev.g_max_bucket
+        dev.g_keys = host_dev.g_keys
 
     dev = DeviceIndex(
         k=k,

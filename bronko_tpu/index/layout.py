@@ -11,7 +11,8 @@ orientations, call.rs:1334/1361, so it folds into the posting itself).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import threading
+from dataclasses import dataclass, field
 
 import jax.numpy as jnp
 import numpy as np
@@ -19,8 +20,7 @@ import numpy as np
 from bronko_tpu.index.model import (
     BronkoIndex, CANON_SHIFT, FILE_MASK, FILE_SHIFT, IDX_MASK, SEQ_MASK, SEQ_SHIFT,
 )
-from bronko_tpu.ops.buckets import filtered_bucket_positions
-from bronko_tpu.ops.map import MapConfig, pallas_probe_ok
+from bronko_tpu.ops.map import MapConfig
 
 KEY_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -87,25 +87,36 @@ class DeviceIndex:
     # image), and the probe-reuse pass-2 never touches it — so when a
     # histogram exists it is built only if a fallback path asks
     _subindex_builder: object = None
+    _subindex_lock: threading.Lock = field(default_factory=threading.Lock,
+                                           repr=False, compare=False)
 
     def ensure_subindex(self) -> None:
-        """Materialize g_keys/g_offsets/g_postings if they were deferred."""
-        if self.g_keys is None and self._subindex_builder is not None:
-            self._subindex_builder(self)
-            self._subindex_builder = None
+        """Materialize g_keys/g_offsets/g_postings if they were deferred.
+
+        Thread-safe: the engine calls this from both the main dispatch
+        loop and the _finish_one worker (PendingStream.resolve), and the
+        builder assigns fields one slow device upload at a time. The
+        lock-free early return is safe because the builder publishes
+        g_keys LAST (all other fields are set once g_keys is non-None)."""
+        if self.g_keys is not None or self._subindex_builder is None:
+            return
+        with self._subindex_lock:
+            if self.g_keys is None and self._subindex_builder is not None:
+                self._subindex_builder(self)
+                self._subindex_builder = None
 
     def map_config(self, n_fixed: int, use_full_kmer: bool) -> MapConfig:
-        positions = tuple(filtered_bucket_positions(self.k, n_fixed, use_full_kmer))
-        n_buckets = max(1, int(self.offsets.shape[0]) - 1)
-        avg = int(self.postings.shape[0]) / n_buckets
-        return MapConfig(
+        from bronko_tpu.ops.map import make_map_config
+
+        return make_map_config(
             k=self.k,
-            positions=positions,
+            n_buckets=max(1, int(self.offsets.shape[0]) - 1),
+            n_postings=int(self.postings.shape[0]),
             max_bucket=self.max_bucket,
             num_genomes=self.num_genomes,
             total_len=self.total_len,
-            lane_factor=min(self.max_bucket, max(4, int(np.ceil(avg)) + 2)),
-            use_pallas=pallas_probe_ok(),
+            n_fixed=n_fixed,
+            use_full_kmer=use_full_kmer,
         )
 
     def slices_for_file(self, file_id: int) -> list[SeqSlice]:
@@ -242,10 +253,11 @@ def build_device_index(index: BronkoIndex) -> DeviceIndex:
             gp[fid_, :spost.shape[0]] = spost
             if u:
                 g_max_b = max(g_max_b, int(np.max(np.diff(soff[:u + 1]))))
-        dev.g_keys = jnp.asarray(gk)
+        # g_keys LAST: it is ensure_subindex's lock-free completion gate
         dev.g_offsets = jnp.asarray(go)
         dev.g_postings = jnp.asarray(gp)
         dev.g_max_bucket = g_max_b
+        dev.g_keys = jnp.asarray(gk)
 
     if meta.size:
         if (hist is not None or hist_words is not None) and fid_grouped:

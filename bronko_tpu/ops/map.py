@@ -84,13 +84,39 @@ def pallas_probe_ok() -> bool:
     operand preparation, while the kernel pays a (J, B) plane transpose
     and u64 recombination it can't amortize. The XLA path is therefore the
     DEFAULT; the kernel stays available for revalidation on future
-    hardware/compilers (bit-identical outputs, tests/test_pallas_buckets.py)."""
-    if not os.environ.get("BRONKO_PALLAS"):
+    hardware/compilers (bit-identical outputs, tests/test_pallas_buckets.py).
+
+    Value-parsed like every BRONKO_* knob: '0'/'false'/'off'/'no' (and
+    unset/empty) mean OFF — a plain presence check would read
+    BRONKO_PALLAS=0 as on and silently run BOTH arms of an A/B on the
+    Mosaic path."""
+    if os.environ.get("BRONKO_PALLAS", "").strip().lower() in (
+            "", "0", "false", "no", "off"):
         return False
     try:
         return jax.default_backend() not in ("cpu",)
     except Exception:  # noqa: BLE001 — backend init can fail under stubs
         return False
+
+
+def make_map_config(*, k: int, n_buckets: int, n_postings: int,
+                    max_bucket: int, num_genomes: int, total_len: int,
+                    n_fixed: int, use_full_kmer: bool) -> MapConfig:
+    """Shared MapConfig constructor for the single-device and sharded
+    index layouts (one copy of the lane-factor heuristic + pallas gate —
+    the two layouts only differ in which shapes feed the average)."""
+    from bronko_tpu.ops.buckets import filtered_bucket_positions
+
+    avg = n_postings / max(1, n_buckets)
+    return MapConfig(
+        k=k,
+        positions=tuple(filtered_bucket_positions(k, n_fixed, use_full_kmer)),
+        max_bucket=max_bucket,
+        num_genomes=num_genomes,
+        total_len=total_len,
+        lane_factor=min(max_bucket, max(4, int(np.ceil(avg)) + 2)),
+        use_pallas=pallas_probe_ok(),
+    )
 
 
 def probe_scatter(
@@ -124,7 +150,7 @@ def probe_scatter(
     N2 = B * J
     LB = cfg.lane_budget if cfg.lane_budget else B * J * cfg.lane_factor
 
-    ii_c, hit, canon, is_rc = _probe(kmers, counts, keys, offsets, cfg=cfg)
+    ii_c, hit, canon, is_rc = _probe(kmers, counts, keys, cfg=cfg)
     pc = _fold_pc(kmers, counts, cfg=cfg, canon=canon, is_rc=is_rc)
 
     startf = offsets[ii_c].reshape(N2)
@@ -338,10 +364,12 @@ def _bucket_q(kmers, *, cfg: MapConfig):
     return buckets[:, np.asarray(cfg.positions)], canon, is_rc
 
 
-def _probe(kmers, counts, keys, offsets, *, cfg: MapConfig):
+def _probe(kmers, counts, keys, *, cfg: MapConfig):
     """Shared probe front end: canonicalize, bucket, merge-probe.
 
-    Returns (q_rowidx (B,J) int32, hit (B,J) bool, canon, is_rc)."""
+    Returns (q_rowidx (B,J) int32, hit (B,J) bool, canon, is_rc). The
+    CSR offsets are NOT consumed here — the merge probe only resolves
+    key rows; callers expand posting ranges themselves."""
     q, canon, is_rc = _bucket_q(kmers, cfg=cfg)
     ii_c, hit = _merge_probe(q, keys)
     hit = hit & (counts > 0)[:, None]
@@ -391,15 +419,15 @@ def _hist_hits_words(hw, G: int):
     return jnp.stack(cols, axis=1).astype(jnp.int32)        # (B,G)
 
 
-def tally_hist(kmers, counts, keys, offsets, hist, *, cfg: MapConfig):
-    """Tally pass via the per-bucket genome histogram: ONE int64 gather per
-    (kmer, bucket) query instead of one per posting lane. Valid for G <= 8
-    genomes with bucket sizes <= 255 (checked at index load)."""
+def tally_hist(kmers, counts, keys, hist, *, cfg: MapConfig):
+    """Tally pass via the per-bucket genome histogram: ONE packed gather
+    per (kmer, bucket) query instead of one per posting lane. Valid for
+    G <= 8 genomes with bucket sizes <= 255 (checked at index load)."""
     _, _, h, _, _ = _probe_payload(kmers, counts, keys, hist, cfg=cfg)
     return _hist_hits(h, cfg.num_genomes)
 
 
-def tally_hist_multi(kmers, counts, keys, offsets, hist_words, *, cfg: MapConfig):
+def tally_hist_multi(kmers, counts, keys, hist_words, *, cfg: MapConfig):
     """Large-panel tally (any G > 8): per-bucket genome counts packed 8
     per int64 word. ceil(G/8) gathers per query — independent of how many
     postings the panel piles into each bucket."""
@@ -414,7 +442,7 @@ def tally_flat(kmers, counts, keys, offsets, postings, *, cfg: MapConfig):
     J = len(cfg.positions)
     N2 = B * J
     LB = cfg.lane_budget if cfg.lane_budget else B * J * cfg.lane_factor
-    ii_c, hit, _, _ = _probe(kmers, counts, keys, offsets, cfg=cfg)
+    ii_c, hit, _, _ = _probe(kmers, counts, keys, cfg=cfg)
     startf = offsets[ii_c].reshape(N2)
     endf = offsets[ii_c + 1].reshape(N2)
     lens = jnp.where(hit.reshape(N2), endf - startf, 0)
@@ -439,10 +467,10 @@ def tally_all_jit(kmers, counts, keys, offsets, postings, hist, tallies,
         tl, ov = carry
         km, ct = batch
         if mode == "hist":
-            hits = tally_hist(km, ct, keys, offsets, hist, cfg=cfg)
+            hits = tally_hist(km, ct, keys, hist, cfg=cfg)
             ov2 = jnp.int32(0)
         elif mode == "words":
-            hits = tally_hist_multi(km, ct, keys, offsets, hist, cfg=cfg)
+            hits = tally_hist_multi(km, ct, keys, hist, cfg=cfg)
             ov2 = jnp.int32(0)
         else:
             hits, ov2 = tally_flat(km, ct, keys, offsets, postings, cfg=cfg)
@@ -571,8 +599,6 @@ def pileup_from_saved_jit(kmers, counts, ii_all, h_all, offsets, postings,
     scalars, so one executable serves every selected genome."""
     k = cfg.k
     J = len(cfg.positions)
-    T = cfg.total_len
-
     def body(carry, batch):
         pl, ov = carry
         km, ct, ii_c, h = batch

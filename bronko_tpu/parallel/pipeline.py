@@ -30,13 +30,12 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from bronko_tpu.index.layout import (KEY_SENTINEL, SeqSlice,
                                       fix_sentinel_collision)
 from bronko_tpu.index.model import BronkoIndex
-from bronko_tpu.ops.map import (MapConfig, classify_tallies, pallas_probe_ok,
-                                probe_scatter)
+from bronko_tpu.ops.map import MapConfig, classify_tallies, probe_scatter
 
 @dataclass
 class ShardedIndex:
@@ -54,18 +53,17 @@ class ShardedIndex:
     genome_lens: np.ndarray
 
     def map_config(self, n_fixed: int, use_full_kmer: bool) -> MapConfig:
-        from bronko_tpu.ops.buckets import filtered_bucket_positions
+        from bronko_tpu.ops.map import make_map_config
 
-        n_buckets = max(1, self.offsets.shape[1] - 1)
-        avg = self.postings.shape[1] / n_buckets
-        return MapConfig(
+        return make_map_config(
             k=self.k,
-            positions=tuple(filtered_bucket_positions(self.k, n_fixed, use_full_kmer)),
+            n_buckets=max(1, self.offsets.shape[1] - 1),
+            n_postings=int(self.postings.shape[1]),
             max_bucket=self.max_bucket,
             num_genomes=self.num_genomes,
             total_len=self.t_pad,
-            lane_factor=min(self.max_bucket, max(4, int(np.ceil(avg)) + 2)),
-            use_pallas=pallas_probe_ok(),
+            n_fixed=n_fixed,
+            use_full_kmer=use_full_kmer,
         )
 
 
@@ -271,10 +269,10 @@ def make_sharded_tally_scan(mesh: Mesh, cfg: MapConfig, mode: str = "flat",
             tl, ov = carry
             km, ct = batch
             if mode == "hist":
-                hits = tally_hist(km, ct, keys[0], offsets[0], hist, cfg=cfg)
+                hits = tally_hist(km, ct, keys[0], hist, cfg=cfg)
                 ov2 = jnp.int32(0)
             elif mode == "words":
-                hits = tally_hist_multi(km, ct, keys[0], offsets[0], hist, cfg=cfg)
+                hits = tally_hist_multi(km, ct, keys[0], hist, cfg=cfg)
                 ov2 = jnp.int32(0)
             else:
                 hits, ov2 = tally_flat(km, ct, keys[0], offsets[0], postings[0],

@@ -343,6 +343,31 @@ def test_mesh_sharded_engine_batchwise(synth):
             open(os.path.join(out_1, fname)).read(), fname
 
 
+def test_mesh_data_parallel_only(synth, tmp_path):
+    """mesh='8x1' (genome axis 1): the ShardedMapper reuses the per-bucket
+    genome HISTOGRAM for tallies (tally_mode='hist'/'words') instead of
+    the flat posting expansion — a distinct code path from the DxG>1
+    meshes the other tests cover. Byte-identical to single device."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 devices")
+    tmp, ref, fq, genome, alts = synth
+    out_1 = str(tmp_path / "out_d1_single")
+    out_m = str(tmp_path / "out_d1_mesh")
+    index = build_index(21, [ref])
+    dev = build_device_index(index)
+    run_call(small_cfg(genomes=[ref], reads=[fq], output=out_1,
+                       output_pileup=True), index, dev)
+    run_call(small_cfg(genomes=[ref], reads=[fq], output=out_m, mesh="8x1",
+                       output_pileup=True), index, dev)
+    for fname in ("samp.vcf", "bronko_overview.tsv", "samp.tsv"):
+        assert open(os.path.join(out_m, fname)).read() == \
+            open(os.path.join(out_1, fname)).read(), fname
+
+
 def test_mesh_sharded_engine_paired(synth, tmp_path):
     """Paired-end + mesh: the concatenated mate k-mer stream shards over
     the mesh like any batch stream; outputs must equal the single-device

@@ -103,12 +103,12 @@ def test_probe_integration_matches_xla_path():
     cfg = m.MapConfig(k=k, positions=tuple(range(3, 11)), max_bucket=8,
                       num_genomes=G, total_len=100)
 
-    base = np.asarray(m.tally_hist(kmers, counts, keys, offsets, hist, cfg=cfg))
+    base = np.asarray(m.tally_hist(kmers, counts, keys, hist, cfg=cfg))
     orig = pl.pallas_call
     with mock.patch.object(pl, "pallas_call",
                            functools.partial(orig, interpret=True)):
         cfg_p = dataclasses.replace(cfg, use_pallas=True)
-        got = np.asarray(m.tally_hist(kmers, counts, keys, offsets, hist,
+        got = np.asarray(m.tally_hist(kmers, counts, keys, hist,
                                       cfg=cfg_p))
     np.testing.assert_array_equal(got, base)
 
