@@ -151,6 +151,25 @@ def native_read_inflate(path: str, on_close=None) -> InflatedText:
     return InflatedText(h, int(size.value), on_close=on_close)
 
 
+def _count_into(lib, h, path: str, text: "InflatedText | None") -> None:
+    """Count one file into counter handle h — from the pre-inflated text
+    when available (closed here), else from the path — mapping the C
+    return codes to exceptions. ONE copy for the batch and streaming
+    counters so their selection/error semantics cannot drift."""
+    if text is not None and text.handle is not None:
+        try:
+            rc = lib.bronko_counter_count_text(
+                h, lib.bronko_buffer_data(text.handle), text.size)
+        finally:
+            text.close()
+    else:
+        rc = lib.bronko_counter_count_fastq(h, path.encode())
+    if rc == -1:
+        raise OSError(f"cannot open {path}")
+    if rc != 0:
+        raise ValueError(f"malformed FASTQ: {path}")
+
+
 def native_count_fastq(path: str, k: int, min_count: int, count_cap: int,
                        threads: int = 4, text: InflatedText | None = None):
     """Count a FASTQ file's k-mers entirely in C++ (multithreaded pipeline).
@@ -167,19 +186,10 @@ def native_count_fastq(path: str, k: int, min_count: int, count_cap: int,
     lib = get_lib()
     assert lib is not None
     h = lib.bronko_counter_create(k, max(1, threads))
+    if not h:
+        raise ValueError(f"k={k} outside the counter's supported range")
     try:
-        if text is not None and text.handle is not None:
-            try:
-                rc = lib.bronko_counter_count_text(
-                    h, lib.bronko_buffer_data(text.handle), text.size)
-            finally:
-                text.close()
-        else:
-            rc = lib.bronko_counter_count_fastq(h, path.encode())
-        if rc == -1:
-            raise OSError(f"cannot open {path}")
-        if rc != 0:
-            raise ValueError(f"malformed FASTQ: {path}")
+        _count_into(lib, h, path, text)
         n = int(lib.bronko_counter_finalize(h, min_count, count_cap))
         kmers = np.empty(n, np.uint64)
         counts = np.empty(n, np.uint32)
@@ -218,24 +228,26 @@ def native_count_fastq_stream(paths: list[str], k: int, min_count: int,
     lib = get_lib()
     assert lib is not None
     with ThreadPoolExecutor(max_workers=1) as pool:
-        texts = ([pool.submit(native_read_inflate, p) for p in paths]
-                 if len(paths) > 1 else [None] * len(paths))
-        for path, tf in zip(paths, texts):
+        # inflate-ahead bounded to ONE file beyond the current: path 0
+        # inflates inline (inside its count) while path 1 prefetches;
+        # thereafter path i+1 submits just before path i counts — at most
+        # one live text buffer plus one in flight, regardless of
+        # len(paths) (an upfront submit-all would let the worker inflate
+        # the whole list while path 0 still counts)
+        next_tf = (pool.submit(native_read_inflate, paths[1])
+                   if len(paths) > 1 else None)
+        for i, path in enumerate(paths):
+            if i == 0:
+                text = None
+            else:
+                text = next_tf.result()
+                next_tf = (pool.submit(native_read_inflate, paths[i + 1])
+                           if i + 1 < len(paths) else None)
             h = lib.bronko_counter_create(k, max(1, threads))
+            if not h:
+                raise ValueError(f"k={k} outside the counter's supported range")
             try:
-                text = tf.result() if tf is not None else None
-                if text is not None and text.handle is not None:
-                    try:
-                        rc = lib.bronko_counter_count_text(
-                            h, lib.bronko_buffer_data(text.handle), text.size)
-                    finally:
-                        text.close()
-                else:
-                    rc = lib.bronko_counter_count_fastq(h, path.encode())
-                if rc == -1:
-                    raise OSError(f"cannot open {path}")
-                if rc != 0:
-                    raise ValueError(f"malformed FASTQ: {path}")
+                _count_into(lib, h, path, text)
                 unique_counted = 0
                 for part in range(NATIVE_COUNT_PARTS):
                     n = int(lib.bronko_counter_finalize_part(

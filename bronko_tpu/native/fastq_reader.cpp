@@ -24,6 +24,7 @@ struct FastqReader {
   size_t buf_pos = 0;        // consumed prefix of buf
   int64_t total_reads = 0;
   bool eof = false;
+  bool read_error = false;   // gzread failure (corrupt/truncated gzip)
   unsigned char code_table[256];
 
   FastqReader() {
@@ -48,11 +49,29 @@ bool refill(FastqReader* r) {
   r->buf.resize(old + kReadBlock);
   int n = gzread(r->gz, r->buf.data() + old, (unsigned)kReadBlock);
   if (n <= 0) {
+    // n < 0 is a zlib error; n == 0 can be EITHER clean EOF or a
+    // truncated stream (zlib reports the latter via gzerror, typically
+    // Z_BUF_ERROR "unexpected end of file"). Treating truncation as EOF
+    // silently accepted a prefix of the sample and called variants on
+    // partial data; surface it as malformed input instead.
+    if (n < 0) {
+      r->read_error = true;
+    } else {
+      int errnum = Z_OK;
+      gzerror(r->gz, &errnum);
+      if (errnum != Z_OK && errnum != Z_STREAM_END) r->read_error = true;
+    }
     r->eof = true;
     r->buf.resize(old);
   } else {
     r->buf.resize(old + (size_t)n);
-    if ((size_t)n < kReadBlock) r->eof = true;
+    if ((size_t)n < kReadBlock) {
+      // short read = EOF or a truncated stream; only gzerror can tell
+      int errnum = Z_OK;
+      gzerror(r->gz, &errnum);
+      if (errnum != Z_OK && errnum != Z_STREAM_END) r->read_error = true;
+      r->eof = true;
+    }
   }
   return !r->buf.empty();
 }
@@ -116,7 +135,10 @@ int64_t bronko_fastq_read_chunk(void* h, uint8_t* codes, int32_t* lengths,
           break;
         }
       } else {
-        if (!refill(r)) break;
+        if (!refill(r)) {
+          if (r->read_error) return -1;
+          break;
+        }
         continue;
       }
     }
@@ -136,6 +158,7 @@ int64_t bronko_fastq_read_chunk(void* h, uint8_t* codes, int32_t* lengths,
     ++r->total_reads;
     r->buf_pos += scanned;
   }
+  if (r->read_error) return -1;
   return n_reads;
 }
 

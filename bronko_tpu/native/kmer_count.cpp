@@ -104,7 +104,15 @@ struct Table {
 
   inline void insert_at(uint64_t key, size_t i, uint32_t add) {
     while (true) {
-      if (keys[i] == key) { vals[i] += add; return; }
+      if (keys[i] == key) {
+        // saturate: the streaming path has no input-size cap, and one
+        // ultra-abundant k-mer (poly-A in a >100 GB stream) can exceed
+        // 2^32 in a single table — a wrapped count would then beat the
+        // ci floor or misreport cs. One predictable extra op.
+        uint64_t v = (uint64_t)vals[i] + add;
+        vals[i] = v > 0xFFFFFFFFull ? 0xFFFFFFFFu : (uint32_t)v;
+        return;
+      }
       if (keys[i] == kEmpty) {
         keys[i] = key; vals[i] = add;
         if (++used * 5 > keys.size() * 3) grow();
@@ -289,7 +297,10 @@ bool scan_bgzf(const std::vector<char>& in, std::vector<BgzfBlock>& blocks,
     }
     if (bsize < 26 || pos + bsize > n) return false;
     uint32_t isize;
-    memcpy(&isize, p + pos + bsize - 4, 4);  // exact: BGZF blocks <= 64 KB
+    memcpy(&isize, p + pos + bsize - 4, 4);
+    // BGZF blocks inflate to <= 64 KB; a corrupt ISIZE would otherwise
+    // balloon total_out and throw bad_alloc through the C ABI
+    if (isize > (1u << 16)) return false;
     blocks.push_back({pos, bsize, out, (size_t)isize});
     out += isize;
     pos += bsize;
@@ -364,9 +375,15 @@ bool inflate_all(const std::vector<char>& in, std::vector<char>& out) {
         continue;
       }
       if (r != 0 || ain == 0) {
-        // corrupt member: fatal if nothing decoded; trailing garbage after
-        // >=1 member is tolerated (zlib's gzread stops the same way)
-        if (out_pos == 0) { ld.free_d(d); return false; }
+        // fatal if nothing decoded. After >=1 member, only TRAILING
+        // GARBAGE (no gzip magic at pos) is tolerated; if the remaining
+        // bytes start a real member, this is a truncated/corrupt
+        // multi-member file and accepting it would silently drop its
+        // tail (counts from a prefix, wrong variant calls)
+        bool looks_like_member =
+            in.size() - pos >= 2 && (unsigned char)in[pos] == 0x1f &&
+            (unsigned char)in[pos + 1] == 0x8b;
+        if (out_pos == 0 || looks_like_member) { ld.free_d(d); return false; }
         break;
       }
       pos += ain;
@@ -376,29 +393,50 @@ bool inflate_all(const std::vector<char>& in, std::vector<char>& out) {
     out.resize(out_pos);
     return true;
   }
-  // zlib streaming fallback into one buffer
+  // zlib streaming fallback into one buffer. Input feeds in <1 GB bites
+  // (avail_in is 32-bit; a single (uInt) cast of a >4 GB buffer would
+  // wrap and silently decode size mod 2^32 bytes).
   z_stream zs{};
   if (inflateInit2(&zs, 16 + MAX_WBITS) != Z_OK) return false;
   out.resize(std::max<size_t>(in.size() * 4, 8 << 20));
-  size_t out_pos = 0;
-  zs.next_in = (Bytef*)in.data();
-  zs.avail_in = (uInt)in.size();
+  size_t out_pos = 0, in_pos = 0;
+  size_t member_start = 0;  // absolute offset of the current member
+  // the only tolerated stop mid-stream is TRAILING GARBAGE: whatever sits
+  // at member_start has no gzip magic. A failure while a REAL member was
+  // decoding (magic at its start — including the first member) means a
+  // truncated/corrupt file; accepting it would call variants on a prefix.
+  auto member_is_real = [&]() {
+    return in.size() - member_start >= 2 &&
+           (unsigned char)in[member_start] == 0x1f &&
+           (unsigned char)in[member_start + 1] == 0x8b;
+  };
   while (true) {
     if (out_pos == out.size()) out.resize(out.size() * 2);
+    if (zs.avail_in == 0 && in_pos < in.size()) {
+      size_t bite = std::min<size_t>(in.size() - in_pos, 1u << 30);
+      zs.next_in = (Bytef*)(in.data() + in_pos);
+      zs.avail_in = (uInt)bite;
+      in_pos += bite;
+    }
     zs.next_out = (Bytef*)(out.data() + out_pos);
     zs.avail_out = (uInt)std::min<size_t>(out.size() - out_pos, 1u << 30);
     int r = inflate(&zs, Z_NO_FLUSH);
     out_pos = (size_t)((char*)zs.next_out - out.data());
+    size_t remaining = (size_t)zs.avail_in + (in.size() - in_pos);
     if (r == Z_STREAM_END) {
-      if (zs.avail_in == 0) break;
+      member_start = in.size() - remaining;
+      if (remaining == 0) break;
       if (inflateReset2(&zs, 16 + MAX_WBITS) != Z_OK) break;  // next member
       continue;
     }
-    if (r != Z_OK) {
-      if (out_pos == 0) { inflateEnd(&zs); return false; }
-      break;  // trailing garbage after >=1 member
+    if (r != Z_OK || (remaining == 0 && zs.avail_out != 0)) {
+      // data error, or input exhausted mid-member (truncation)
+      if (out_pos == 0 || member_is_real()) {
+        inflateEnd(&zs);
+        return false;
+      }
+      break;
     }
-    if (zs.avail_in == 0 && r == Z_OK && zs.avail_out != 0) break;
   }
   inflateEnd(&zs);
   out.resize(out_pos);
@@ -636,7 +674,16 @@ int count_streaming(Counter* c, const char* path) {
     int n = gzread(gz, buf.data() + old, (unsigned)kReadBlock);
     if (n < 0) { rc = -2; break; }
     buf.resize(old + (size_t)n);
-    if (n == 0) { eof = true; break; }
+    if (n == 0) {
+      // a TRUNCATED gzip stream surfaces as n==0 with a pending zlib
+      // error (Z_BUF_ERROR "unexpected end of file"), not as n<0 —
+      // treating it as EOF would silently count a prefix of the sample
+      int errnum = Z_OK;
+      gzerror(gz, &errnum);
+      if (errnum != Z_OK && errnum != Z_STREAM_END) rc = -2;
+      eof = true;
+      break;
+    }
     for (size_t i = old; i < buf.size(); ++i) nl_cnt += (buf[i] == '\n');
     // cut after the newline whose count from the block start is the
     // largest multiple of 4: step back (nl_cnt % 4) newlines from the last
@@ -748,6 +795,11 @@ void merge_partition(Counter* c, int part, int shift, uint32_t ci,
 extern "C" {
 
 void* bronko_counter_create(int k, int threads) {
+  // k > 32 cannot pack into u64 (count_seq would silently count
+  // truncated 32-mers and finalize's key >> (2k-3) shift becomes UB);
+  // reject instead — the CLI validates k in [15,31], this guards
+  // library embedders
+  if (k < 1 || k > 32) return nullptr;
   if (threads < 1) threads = 1;
   if (threads > 16) threads = 16;
   return new Counter(k, threads);

@@ -7,7 +7,9 @@ import pytest
 
 from bronko_tpu.call.noise import _baseline_noise_py, _minor_freqs, _tau_table
 from bronko_tpu.io.fastq import read_fastq_chunks
-from bronko_tpu.io.native import get_lib, native_noise_scan, native_read_fastq_chunks
+from bronko_tpu.io.native import (get_lib, native_count_fastq,
+                                  native_noise_scan,
+                                  native_read_fastq_chunks)
 
 pytestmark = pytest.mark.skipif(get_lib() is None, reason="native lib unavailable")
 
@@ -300,3 +302,77 @@ def test_streaming_fallback_matches_wholebuf(tmp_path, monkeypatch):
     with pytest.raises(ValueError):
         native_count_fastq(bad, 21, 1, 1_000_000)
     monkeypatch.delenv("BRONKO_WHOLEBUF_MAX")
+
+
+def test_corrupt_gzip_rejected_everywhere(tmp_path):
+    """Corrupt/truncated gzip must raise on EVERY front end — whole-buffer,
+    streaming, chunk reader — never silently count a prefix of the sample
+    (the chunk reader used to map gzread errors to EOF)."""
+    import gzip as _gzip
+
+    recs = "".join(f"@r{i}\nACGTACGTACGTACGTACGTACGT\n+\n{'I' * 24}\n"
+                   for i in range(2000))
+    good = str(tmp_path / "good.fastq.gz")
+    with open(good, "wb") as fh:
+        fh.write(_gzip.compress(recs.encode(), 6))
+    blob = open(good, "rb").read()
+    trunc = str(tmp_path / "trunc.fastq.gz")
+    with open(trunc, "wb") as fh:
+        fh.write(blob[: len(blob) // 2])  # mid-stream cut
+
+    # whole-buffer host counter
+    with pytest.raises(ValueError):
+        native_count_fastq(trunc, 21, 1, 1_000_000)
+    # streaming host counter
+    import os as _os
+
+    _os.environ["BRONKO_WHOLEBUF_MAX"] = "0"
+    try:
+        with pytest.raises(ValueError):
+            native_count_fastq(trunc, 21, 1, 1_000_000)
+    finally:
+        del _os.environ["BRONKO_WHOLEBUF_MAX"]
+    # chunk reader (device-counter front end)
+    from bronko_tpu.io.native import native_read_fastq_chunks
+
+    with pytest.raises(ValueError):
+        for _ in native_read_fastq_chunks(trunc, 512):
+            pass
+
+
+def test_truncated_multimember_rejected(tmp_path):
+    """cat a.gz b.gz with b truncated: the whole-buffer inflate used to
+    accept member a as the full file ('trailing garbage' tolerance too
+    broad) — partial counts, wrong VCFs. A truncated REAL member must
+    fail; genuine trailing garbage (no gzip magic) stays tolerated."""
+    import gzip as _gzip
+
+    recs_a = "".join(f"@a{i}\nACGTACGTACGTACGTACGTACGT\n+\n{'I' * 24}\n"
+                     for i in range(1000))
+    recs_b = recs_a.replace("@a", "@b")
+    a = _gzip.compress(recs_a.encode(), 6)
+    b = _gzip.compress(recs_b.encode(), 6)
+
+    cut = str(tmp_path / "cut.fastq.gz")
+    with open(cut, "wb") as fh:
+        fh.write(a + b[: len(b) // 2])
+    with pytest.raises(ValueError):
+        native_count_fastq(cut, 21, 1, 1_000_000)
+
+    garbage = str(tmp_path / "garbage.fastq.gz")
+    with open(garbage, "wb") as fh:
+        fh.write(a + b"\x00" * 37)  # padding junk, no gzip magic
+    k1, c1, s1 = native_count_fastq(garbage, 21, 1, 1_000_000)
+    clean = str(tmp_path / "clean.fastq.gz")
+    with open(clean, "wb") as fh:
+        fh.write(a)
+    k2, c2, s2 = native_count_fastq(clean, 21, 1, 1_000_000)
+    assert s1 == s2 and np.array_equal(k1, k2) and np.array_equal(c1, c2)
+
+
+def test_counter_rejects_unsupported_k(tmp_path):
+    p = str(tmp_path / "x.fastq")
+    with open(p, "w") as fh:
+        fh.write("@r\nACGT\n+\nIIII\n")
+    with pytest.raises(ValueError, match="supported range"):
+        native_count_fastq(p, 40, 1, 1_000_000)
