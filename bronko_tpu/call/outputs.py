@@ -70,6 +70,9 @@ def write_pileup(
     with open(path, "w") as fh:
         fh.write("reference\tindex\tref\tA\tC\tG\tT\ta\tc\tg\tt\n")
         for s in file_meta.sequences:
+            if s.length == 0:
+                continue  # the reference's per-position loop writes
+                          # nothing for empty records (call.rs:676)
             fwd, rev = seq_pileups[s.name]
             # vectorized row build (a per-position f-string loop measured
             # seconds per Mb on the call worker): one bytes-join per column

@@ -286,11 +286,11 @@ def device_build(index: BronkoIndex) -> DeviceIndex:
 
     # narrow pass-2 postings (genome-local int32; see layout.py) derived on
     # device — one elementwise pass, no transfer
+    file_bases = (np.concatenate([[0], np.cumsum(genome_lens)[:-1]])
+                  .astype(np.int64) if G else np.zeros(0, np.int64))
     postings_local32 = None
     if G and int(genome_lens.max()) < (1 << 25):
-        fb = jnp.asarray(np.concatenate(
-            [[0], np.cumsum(genome_lens)[:-1]]).astype(np.int64))
-        postings_local32 = _narrow_postings(postings, fb)
+        postings_local32 = _narrow_postings(postings, jnp.asarray(file_bases))
 
     log.info(
         "device index built: %d postings, %d buckets (padded %d), "
@@ -329,8 +329,7 @@ def device_build(index: BronkoIndex) -> DeviceIndex:
         g_max_bucket=max(1, E),
         g_total_len=int(genome_lens.max()) if G else 0,
         fid_grouped=True,
-        file_bases=np.concatenate([[0], np.cumsum(genome_lens)[:-1]]).astype(np.int64)
-        if G else np.zeros(0, np.int64),
+        file_bases=file_bases,
         postings_local32=postings_local32,
         _subindex_builder=_host_subindex,
     )

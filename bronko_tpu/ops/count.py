@@ -20,11 +20,14 @@ total reads, total (valid) k-mers, unique k-mers, unique counted k-mers.
 from __future__ import annotations
 
 import functools
+import logging
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+log = logging.getLogger("bronko")
 
 SENTINEL = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -134,8 +137,7 @@ class KmerCounter:
             ukmers, ucounts, n_unique, n_total = extract_and_count_chunk(
                 jnp.asarray(codes), jnp.asarray(lengths), self.k, use_pallas=False,
             )
-            log_ = __import__("logging").getLogger("bronko")
-            log_.warning("Pallas window-pack failed (%s); using XLA pack", e)
+            log.warning("Pallas window-pack failed (%s); using XLA pack", e)
             KmerCounter._pallas_ok = False
         n_unique = int(n_unique)
         self.stats.total_reads += n_reads
@@ -153,6 +155,12 @@ class KmerCounter:
             return np.empty(0, np.uint64), np.empty(0, np.int64)
         all_k = np.concatenate([c[0] for c in self._chunks])
         all_c = np.concatenate([c[1] for c in self._chunks])
+        if all_k.size == 0:
+            # chunks existed but yielded no valid k-mers (all reads shorter
+            # than k / all-N): the [True] boundary seed below would have
+            # shape (1,) against a (0,) array and raise
+            self._chunks.clear()
+            return np.empty(0, np.uint64), np.empty(0, np.int64)
         order = np.argsort(all_k)
         all_k = all_k[order]
         all_c = all_c[order]

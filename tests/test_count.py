@@ -143,3 +143,17 @@ def test_python_fastq_parser_rejects_malformed(tmp_path):
     bad_plus.write_text("@a\nACGT\nIIII\n+\n")  # qual/plus swapped
     with pytest.raises(ValueError):
         list(read_fastq_chunks(str(bad_plus)))
+
+
+def test_device_counter_all_invalid_reads():
+    """Chunks that yield ZERO valid k-mers (all-N / shorter-than-k reads)
+    must finalize to empty arrays, not crash on the boundary seed."""
+    from bronko_tpu.ops.count import KmerCounter
+
+    c = KmerCounter(21, 3)
+    codes = np.full((8, 32), 4, np.uint8)  # every base non-ACGT
+    lengths = np.full(8, 30, np.int32)
+    c.add_chunk(codes, lengths, 8)
+    kmers, counts = c.finalize()
+    assert kmers.size == 0 and counts.size == 0
+    assert c.stats.total_reads == 8 and c.stats.unique_counted_kmers == 0
