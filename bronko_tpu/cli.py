@@ -217,7 +217,15 @@ def main(argv: list[str] | None = None) -> int:
         )
         run_build(cfg)
     else:
-        if args.coordinator or args.num_processes or args.process_id is not None:
+        dist_flags = (args.coordinator, args.num_processes, args.process_id)
+        if any(f is not None for f in dist_flags):
+            if any(f is None for f in dist_flags):
+                # jax.distributed.initialize with a partial set raises a
+                # raw traceback; fail like every other config mistake
+                from bronko_tpu.config import _fatal
+
+                _fatal("--coordinator, --num-processes and --process-id "
+                       "must be given together")
             from bronko_tpu.parallel.distributed import init_distributed
 
             init_distributed(args.coordinator, args.num_processes, args.process_id)

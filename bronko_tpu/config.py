@@ -34,6 +34,20 @@ def _check_k(k: int) -> None:
         )
 
 
+def _check_threads(threads: int) -> None:
+    """Shared by build (build.rs:95-98) and call (call.rs:80-83)."""
+    if threads <= 0:
+        _fatal("Number of threads must be greater than 0")
+    import os as _os
+
+    available = _os.cpu_count() or 1
+    if threads > available:
+        _fatal(
+            f"You requested {threads} threads but only have "
+            f"{available} available on your system"
+        )
+
+
 @dataclass
 class BuildConfig:
     genomes: list[str]
@@ -46,23 +60,18 @@ class BuildConfig:
 
     def validate(self) -> None:
         _check_k(self.kmer)
+        if not self.genomes:
+            # the reference shows help and exits for a bare `bronko build`
+            # (cli.rs:30 arg_required_else_help); an empty index written
+            # with exit 0 would be a silent footgun
+            _fatal("No genome files provided (use -g)")
         for f in self.genomes:
             if not check_fasta(f):
                 _fatal(
                     f"{f} does not appear to be a fasta file "
                     f"(must be .fa(.gz)/.fasta(.gz)/.fna(.gz))"
                 )
-        if self.threads <= 0:
-            _fatal("Number of threads must be greater than 0")
-        else:
-            import os as _os
-
-            available = _os.cpu_count() or 1
-            if self.threads > available:  # build.rs:95-98
-                _fatal(
-                    f"You requested {self.threads} threads but only have "
-                    f"{available} available on your system"
-                )
+        _check_threads(self.threads)  # build.rs:95-98
 
 
 @dataclass
@@ -131,17 +140,7 @@ class CallConfig:
                         f"{f} does not appear to be a fasta file "
                         f"(must be .fa(.gz)/.fasta(.gz)/.fna(.gz))"
                     )
-        if self.threads <= 0:
-            _fatal("Number of threads must be greater than 0")
-        else:
-            import os as _os
-
-            available = _os.cpu_count() or 1
-            if self.threads > available:  # call.rs:80-83
-                _fatal(
-                    f"You requested {self.threads} threads but only have "
-                    f"{available} available on your system"
-                )
+        _check_threads(self.threads)  # call.rs:80-83
         if self.min_af < 0.01:
             log.warning(
                 "Minimum allele frequency set below 0.01, more false positive variants "
@@ -198,6 +197,10 @@ class CallConfig:
                 _fatal("--shard-samples partitions whole samples per process "
                        "and cannot combine with --mesh (which spans every "
                        "process's devices within one sample)")
+            if self.device_build == "on":
+                _fatal("--device-build on cannot combine with --mesh "
+                       "(the mesh splitter consumes the host-built arrays); "
+                       "use --device-build auto or off")
 
 
 def setup_logging(debug: bool, verbose: bool) -> None:

@@ -64,6 +64,10 @@ class _Reader:
 
     def bytes_(self, n: int) -> bytes:
         out = self.buf[self.pos:self.pos + n]
+        if len(out) != n:  # truncated mid-payload: fail loudly — a short
+            # sequence blob would otherwise load 'successfully' and shift
+            # every downstream coordinate
+            raise ValueError("truncated bincode payload")
         self.pos += n
         return out
 
@@ -116,7 +120,13 @@ def load_reference_bkdb(path: str) -> BronkoIndex:
             sbytes = r.bytes_(r.varint())
             seqs.append(SeqMeta(sname, slen, sbytes))
         files.append(FileMeta(name, seqs))
-    _meta_k = r.varint()
+    meta_k = r.varint()
+    if meta_k != k:
+        raise ValueError(
+            f"corrupt .bkdb: index k={k} but metadata k={meta_k}")
+    if r.pos != len(r.buf):
+        raise ValueError(
+            f"corrupt .bkdb: {len(r.buf) - r.pos} trailing bytes")
 
     # assemble sorted-CSR (hashmap order -> sorted key order, stable)
     fid = np.concatenate(all_fid) if all_fid else np.empty(0, np.uint32)
@@ -192,19 +202,23 @@ def save_reference_bkdb(index: BronkoIndex, path: str) -> None:
     w.varint(int(index.k))
     U = int(index.keys.shape[0])
     w.varint(U)
-    keys = index.keys
-    offsets = index.offsets
-    loc = index.post_loc
+    # plain-list views: numpy scalar extraction per posting costs ~10x a
+    # list access, and large panels have millions of postings
+    keys = index.keys.tolist()
+    offsets = index.offsets.tolist()
+    loc = index.post_loc.tolist()
+    l_fid, l_seq = p_fid.tolist(), p_seq.tolist()
+    l_idx, l_can = p_idx.tolist(), p_can.tolist()
     for i in range(U):
-        w.varint(int(keys[i]))
-        lo, hi = int(offsets[i]), int(offsets[i + 1])
+        w.varint(keys[i])
+        lo, hi = offsets[i], offsets[i + 1]
         w.varint(hi - lo)
         for j in range(lo, hi):
-            w.varint(int(p_fid[j]))   # u16
-            w.byte(int(p_seq[j]))     # u8
-            w.varint(int(loc[j]))     # u32
-            w.byte(int(p_idx[j]))     # u8
-            w.byte(int(p_can[j]))     # bool
+            w.varint(l_fid[j])   # u16
+            w.byte(l_seq[j])     # u8
+            w.varint(loc[j])     # u32
+            w.byte(l_idx[j])     # u8
+            w.byte(l_can[j])     # bool
     w.varint(len(index.files))
     for f in index.files:
         w.string(f.name)

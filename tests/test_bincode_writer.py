@@ -102,3 +102,28 @@ def test_cli_build_bincode_then_call(tmp_path):
                                     batch_size=4096, chunk_reads=8192),
                          idx, build_device_index(idx))
     assert summaries and summaries[0].n_perfect > 0
+
+
+def test_truncated_or_garbage_bincode_rejected(tmp_path):
+    """A reference-format .bkdb truncated mid-payload, or with trailing
+    bytes appended, must fail loudly — a short sequence blob would load
+    'successfully' and shift every downstream coordinate."""
+    rng = np.random.default_rng(5)
+    p = str(tmp_path / "g.fasta")
+    write_fasta(p, "s", make_genome(rng, 300))
+    idx = build_index(21, [p])
+    out = str(tmp_path / "db")
+    save_reference_bkdb(idx, out)
+    blob = open(out + ".bkdb", "rb").read()
+
+    cut = str(tmp_path / "cut.bkdb")
+    with open(cut, "wb") as fh:
+        fh.write(blob[:-10])  # inside the final sequence payload / k field
+    with pytest.raises(ValueError):
+        load_reference_bkdb(cut)
+
+    junk = str(tmp_path / "junk.bkdb")
+    with open(junk, "wb") as fh:
+        fh.write(blob + b"\x00\x01\x02")
+    with pytest.raises(ValueError, match="trailing"):
+        load_reference_bkdb(junk)

@@ -136,3 +136,17 @@ def test_repeated_multi_value_flags_append():
     # the default list must not accumulate across parses
     a = p.parse_args(["call", "-d", "x.bkdb", "-o", "out"])
     assert a.reads == [] and a.genomes is None
+
+
+def test_build_requires_genomes():
+    """Bare `build` must fail like the reference's arg_required_else_help
+    (cli.rs:30), not write an empty index with exit 0."""
+    with pytest.raises(SystemExit):
+        BuildConfig(genomes=[]).validate()
+
+
+def test_mesh_device_build_conflict():
+    """--device-build on is silently unusable under --mesh; reject the
+    contradiction instead of ignoring the explicit flag."""
+    with pytest.raises(SystemExit):
+        _call(mesh="2x1", device_build="on").validate()
