@@ -56,10 +56,14 @@ def _count_oracle(reads: list[bytes], k: int, ci: int = 3,
     return [(km, min(n, cs)) for km, n in sorted(c.items()) if n >= ci]
 
 
-def _oracle_vcf_lines(files, kmer_counts, k: int) -> tuple[list[str], str]:
-    """Compose the oracle stages into VCF data lines + the selected name."""
+def _oracle_vcf_lines(files, kmer_counts, k: int,
+                      n_fixed: int = 2, use_full_kmer: bool = False,
+                      **caller_kw) -> tuple[list[str], str]:
+    """Compose the oracle stages into VCF data lines + the selected name.
+    caller_kw forwards filter-cascade flags to the caller oracle."""
     idx = build_oracle_index(k, files)
-    maps, tallies = map_kmers_oracle(kmer_counts, idx)
+    maps, tallies = map_kmers_oracle(kmer_counts, idx, n_fixed=n_fixed,
+                                     use_full_kmer=use_full_kmer)
 
     best, best_score = None, 0.0
     for fid, (fname, seqs) in enumerate(files):
@@ -75,7 +79,7 @@ def _oracle_vcf_lines(files, kmer_counts, k: int) -> tuple[list[str], str]:
         noise = reference_noise_scan(m["fwd"], m["rev"], _tau)
         recs, *_ = call_variants_oracle(
             sname, seq, m["fwd"], m["rev"], m["fwd_cnt"], m["rev_cnt"],
-            k=k, noise_max=noise[:, 0])
+            k=k, noise_max=noise[:, 0], **caller_kw)
         for r in recs:
             # VCF row spec transcribed from call.rs:763-772
             lines.append(
@@ -87,10 +91,10 @@ def _oracle_vcf_lines(files, kmer_counts, k: int) -> tuple[list[str], str]:
     return lines, files[best][0]
 
 
-def _engine_vcf_lines(tmp_path, fasta_paths, fq, tag):
+def _engine_vcf_lines(tmp_path, fasta_paths, fq, tag, **cfg_kw):
     out = str(tmp_path / f"out_{tag}")
     cfg = CallConfig(genomes=list(fasta_paths), reads=[fq], output=out,
-                     batch_size=4096, chunk_reads=8192)
+                     batch_size=4096, chunk_reads=8192, **cfg_kw)
     index = build_index(cfg.kmer, list(fasta_paths))
     run_call(cfg, index, build_device_index(index))
     vcf = [f for f in os.listdir(out) if f.endswith(".vcf")]
@@ -146,6 +150,53 @@ def test_engine_equals_composed_oracle(tmp_path, seed, n_g, glen, depth,
     # the fuzz must exercise real calls, not vacuous empty VCFs
     if n_maj and depth >= 60:
         assert len(got_lines) >= 1
+
+
+FLAG_COMBOS = [
+    # (CallConfig kwargs, oracle kwargs)
+    (dict(use_full_kmer=True), dict(use_full_kmer=True)),
+    (dict(no_end_filter=True), dict(caller=dict(filter_end_seq=False))),
+    (dict(no_strand_filter=True), dict(caller=dict(strand_filter=False))),
+    (dict(no_strand_balance_filter=True),
+     dict(caller=dict(no_strand_balance_filter=True))),
+    (dict(min_af=0.1, min_depth=50, min_variant_depth=2,
+          variant_multiplier=2.0, strand_odds_max=3.0, n_per_strand=1),
+     dict(caller=dict(min_af=0.1, min_depth=50, min_variant_depth=2,
+                      variant_multiplier=2.0, strand_odds_max=3.0,
+                      n_per_strand=1))),
+    (dict(n_fixed=4), dict(n_fixed=4)),
+]
+
+
+@pytest.mark.parametrize("cfg_kw,oracle_kw", FLAG_COMBOS)
+def test_engine_equals_oracle_flag_combos(tmp_path, cfg_kw, oracle_kw):
+    """The filter cascade's flag surface composed end-to-end: each flag
+    must steer the ENGINE and the ORACLE identically (call.rs:30-136
+    flags through the full pipeline, not just the caller unit)."""
+    rng = np.random.default_rng(99)
+    k = 21
+    seq = make_genome(rng, 520)
+    p = str(tmp_path / "fc.fasta")
+    write_fasta(p, "fcseq", seq)
+    files = [("fc", [("fcseq", seq)])]
+    majors = {int(q): 0.85 for q in rng.integers(60, 460, 2)}
+    minors = {int(rng.integers(60, 460)): 0.25}
+    reads, _ = make_sample(seq, rng, read_len=100, depth=330,
+                           major_positions=majors, minor_positions=minors,
+                           error_rate=0.004)
+    fq = str(tmp_path / "fc.fastq.gz")
+    write_fastq(fq, reads)
+
+    kmer_counts = _count_oracle(reads, k)
+    ok = dict(oracle_kw)
+    caller_kw = ok.pop("caller", {})
+    want_lines, want_name = _oracle_vcf_lines(files, kmer_counts, k,
+                                              **ok, **caller_kw)
+    got_lines, got_name = _engine_vcf_lines(
+        tmp_path, [p], fq, "fc" + str(hash(str(cfg_kw)) % 1000), **cfg_kw)
+
+    assert got_name == want_name
+    assert got_lines == want_lines
 
 
 def test_engine_equals_oracle_paired(tmp_path):
