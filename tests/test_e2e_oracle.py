@@ -289,6 +289,73 @@ def test_engine_equals_oracle_with_n_bases(tmp_path):
     assert len(got_lines) >= 1
 
 
+def test_engine_equals_oracle_alignment(tmp_path):
+    """--alignment composed end-to-end: four samples on one genome, the
+    .mfa must equal an inline transcription of build_alignments
+    (call.rs:504-628: breadth >= 0.90 filter, >= 3 samples per genome,
+    union of major-variant positions, ref row + per-sample rows)."""
+    rng = np.random.default_rng(77)
+    k = 21
+    seq = make_genome(rng, 600)
+    p = str(tmp_path / "al.fasta")
+    write_fasta(p, "alseq", seq)
+    files = [("al", [("alseq", seq)])]
+
+    fqs, per_sample = [], []
+    for s_i in range(4):
+        majors = {int(q): 0.9 for q in rng.integers(60, 540, 2 + s_i % 2)}
+        reads, _ = make_sample(seq, rng, read_len=100, depth=320,
+                               major_positions=majors,
+                               minor_positions={}, error_rate=0.003)
+        fq = str(tmp_path / f"al{s_i}.fastq.gz")
+        write_fastq(fq, reads)
+        fqs.append(fq)
+        per_sample.append(reads)
+
+    # engine with --alignment
+    out = str(tmp_path / "out_al")
+    cfg = CallConfig(genomes=[p], reads=fqs, output=out,
+                     output_alignment=True, batch_size=4096,
+                     chunk_reads=8192)
+    index = build_index(k, [p])
+    run_call(cfg, index, build_device_index(index))
+
+    # oracle: per-sample records + breadth through the composed stages
+    idx = build_oracle_index(k, files)
+    sample_rows = []           # (sample_path, {(seq,pos): alt}, breadth)
+    all_positions = {}         # (seq,pos) -> ref_base  (majors only)
+    for fq, reads in zip(fqs, per_sample):
+        maps, tallies = map_kmers_oracle(_count_oracle(reads, k), idx)
+        m = maps[0]["alseq"]
+        noise = reference_noise_scan(m["fwd"], m["rev"], _tau)
+        recs, n_maj, n_min, cov, _tot, L = call_variants_oracle(
+            "alseq", seq, m["fwd"], m["rev"], m["fwd_cnt"], m["rev_cnt"],
+            k=k, noise_max=noise[:, 0])
+        breadth = cov / L
+        if breadth < 0.90:
+            continue  # filtered samples contribute NO positions
+        smap = {}
+        for r in recs:
+            if r["af"] >= 0.5:
+                all_positions[(r["seq"], r["pos"])] = r["ref_base"]
+                smap[(r["seq"], r["pos"])] = r["alt_base"]
+        sample_rows.append((fq, smap))
+    assert len(sample_rows) >= 3, "fixture must clear the >=3-sample gate"
+    positions = sorted(all_positions)
+    want = [">al", "".join("ACGT"[all_positions[q]] for q in positions)]
+    from bronko_tpu.io.naming import clean_sample_id
+
+    for fq, smap in sample_rows:
+        want.append(f">{clean_sample_id(fq)}")
+        want.append("".join(
+            "ACGT"[smap.get(q, all_positions[q])] for q in positions))
+
+    mfa = os.path.join(out, "al.mfa")
+    assert os.path.exists(mfa)
+    got = open(mfa).read().splitlines()
+    assert got == want
+
+
 def test_engine_equals_oracle_multicontig(tmp_path):
     """Best file with two contigs: per-sequence noise windows, per-contig
     VCF ordering, and contig-local coordinates all composed."""
