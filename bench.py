@@ -163,7 +163,7 @@ def _single_sample_run(index, dev, cfg, fastq):
     )
 
 
-def _measure_ceilings(sort_lanes: int, gather_lanes: int) -> tuple[float, float]:
+def _measure_ceilings(sort_lanes: int, gather_lanes: int) -> tuple[float, float, bool]:
     """Measure THIS session's sort and random-gather ceilings at the bench's
     own lane counts. The roofline used to cite constants measured in an
     earlier session, but the achievable floor drifts with the serving

@@ -1169,7 +1169,14 @@ def _run_call_inner(cfg: CallConfig, index: BronkoIndex,
 
     if shard_samples:
         # assemble the GLOBAL result set on every process (rank 0 writes
-        # overview/alignment; everyone needs it for the exit decision)
+        # overview/alignment; everyone needs it for the exit decision).
+        # PAYLOAD-SIZE ASSUMPTION: allgather_bytes ships the pickled
+        # summaries + VCF records through device collectives (every
+        # process pays max-payload padding) — fine at viral scale
+        # (kB-MB per sample: summary rows + SNP records, never pileups
+        # or reads), but do NOT route bulk per-sample tensors through
+        # this path on relay-attached TPUs (single-digit MB/s,
+        # docs/design.md)
         import pickle
 
         from bronko_tpu.parallel.distributed import allgather_bytes

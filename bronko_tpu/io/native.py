@@ -236,38 +236,52 @@ def native_count_fastq_stream(paths: list[str], k: int, min_count: int,
         # the whole list while path 0 still counts)
         next_tf = (pool.submit(native_read_inflate, paths[1])
                    if len(paths) > 1 else None)
-        for i, path in enumerate(paths):
-            if i == 0:
-                text = None
-            else:
-                text = next_tf.result()
-                next_tf = (pool.submit(native_read_inflate, paths[i + 1])
-                           if i + 1 < len(paths) else None)
-            h = lib.bronko_counter_create(k, max(1, threads))
-            if not h:
-                raise ValueError(f"k={k} outside the counter's supported range")
-            try:
-                _count_into(lib, h, path, text)
-                unique_counted = 0
-                for part in range(NATIVE_COUNT_PARTS):
-                    n = int(lib.bronko_counter_finalize_part(
-                        h, part, NATIVE_COUNT_PARTS, min_count, count_cap))
-                    kmers = np.empty(n, np.uint64)
-                    counts = np.empty(n, np.uint32)
-                    if n:
-                        lib.bronko_counter_extract(h, kmers, counts)
-                    unique_counted += n
-                    stats = None
-                    if part == NATIVE_COUNT_PARTS - 1:
-                        stats = dict(
-                            total_reads=int(lib.bronko_counter_total_reads(h)),
-                            total_kmers=int(lib.bronko_counter_total_kmers(h)),
-                            unique_kmers=int(lib.bronko_counter_unique(h)),
-                            unique_counted_kmers=unique_counted,
-                        )
-                    yield kmers, counts.astype(np.int64), stats
-            finally:
-                lib.bronko_counter_destroy(h)
+        try:
+            for i, path in enumerate(paths):
+                if i == 0:
+                    text = None
+                else:
+                    text = next_tf.result()
+                    next_tf = (pool.submit(native_read_inflate, paths[i + 1])
+                               if i + 1 < len(paths) else None)
+                h = lib.bronko_counter_create(k, max(1, threads))
+                if not h:
+                    raise ValueError(
+                        f"k={k} outside the counter's supported range")
+                try:
+                    _count_into(lib, h, path, text)
+                    unique_counted = 0
+                    for part in range(NATIVE_COUNT_PARTS):
+                        n = int(lib.bronko_counter_finalize_part(
+                            h, part, NATIVE_COUNT_PARTS, min_count, count_cap))
+                        kmers = np.empty(n, np.uint64)
+                        counts = np.empty(n, np.uint32)
+                        if n:
+                            lib.bronko_counter_extract(h, kmers, counts)
+                        unique_counted += n
+                        stats = None
+                        if part == NATIVE_COUNT_PARTS - 1:
+                            stats = dict(
+                                total_reads=int(
+                                    lib.bronko_counter_total_reads(h)),
+                                total_kmers=int(
+                                    lib.bronko_counter_total_kmers(h)),
+                                unique_kmers=int(lib.bronko_counter_unique(h)),
+                                unique_counted_kmers=unique_counted,
+                            )
+                        yield kmers, counts.astype(np.int64), stats
+                finally:
+                    lib.bronko_counter_destroy(h)
+        finally:
+            # if _count_into raised for path i (or the consumer abandoned
+            # the generator), path i+1's in-flight prefetch would otherwise
+            # hold its native buffer until process exit — resolve and close
+            # it before propagating
+            if next_tf is not None:
+                try:
+                    next_tf.result().close()
+                except Exception:  # noqa: BLE001 — prefetch itself failed
+                    pass
 
 
 def native_read_fastq_chunks(path: str, chunk_reads: int, max_len: int = 512):

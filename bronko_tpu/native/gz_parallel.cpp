@@ -654,7 +654,8 @@ bool parallel_inflate(const uint8_t* in, size_t n, std::vector<char>& out) {
     if (res[i].sink.len && offs[i] < 32768)
       return false;  // markers would precede the stream
   out.resize(total);
-  memcpy(out.data(), res[0].sink.bytes.data(), res[0].sink.len);
+  if (res[0].sink.len)  // empty chunk-0 sink: bytes.data() may be null
+    memcpy(out.data(), res[0].sink.bytes.data(), res[0].sink.len);
 
   // Marker m of chunk i = byte m of out[offs[i]-32768, offs[i]). Only the
   // 32 KB TAIL of chunk i-1 feeds chunk i, so resolve the tails first —
