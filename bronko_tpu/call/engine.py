@@ -215,16 +215,20 @@ class ShardedMapper:
         self.keys = globalize(self.sharded.keys, self.mesh, P("genome", None))
         self.offsets = globalize(self.sharded.offsets, self.mesh, P("genome", None))
         self.postings = globalize(self.sharded.postings, self.mesh, P("genome", None))
-        # data-parallel-only meshes reuse the per-bucket genome histogram
-        # (one gather per query vs the posting lane expansion); with a
-        # genome axis the histogram indexes the wrong (sharded) bucket rows
-        # so the flat path applies
-        if self.n_genome == 1 and dev is not None and dev.hist is not None:
+        # per-SHARD per-bucket genome histograms (split_index): one gather
+        # per query vs the posting lane expansion, valid on ANY DxG mesh —
+        # each shard's packed word carries only its own genomes' bytes, so
+        # the psum over 'genome' reassembles the global word carry-free
+        # (VERDICT r2 item 4; previously genome-sharded meshes fell back
+        # to 'flat', which scales with panel size per hit bucket)
+        if self.sharded.hist is not None:
             self.tally_mode = "hist"
-            self.hist = globalize(dev.hist, self.mesh, P(None))
-        elif self.n_genome == 1 and dev is not None and dev.hist_words is not None:
+            self.hist = globalize(self.sharded.hist, self.mesh,
+                                  P("genome", None))
+        elif self.sharded.hist_words is not None:
             self.tally_mode = "words"
-            self.hist = globalize(dev.hist_words, self.mesh, P(None))
+            self.hist = globalize(self.sharded.hist_words, self.mesh,
+                                  P("genome", None, None))
         else:
             self.tally_mode = "flat"
             self.hist = globalize(jnp.zeros(1, jnp.int64), self.mesh, P(None))
@@ -344,7 +348,7 @@ def _pass2_budget(kj, mcfg, n_kmers, exact_lanes=None):
     return min(budget, B * J * max(2, mcfg.lane_factor))
 
 
-def _dispatch_pileup_saved(kj, cj, ii_all, h_all, dev: DeviceIndex,
+def _dispatch_pileup_saved(kj, cj, start_all, h_all, dev: DeviceIndex,
                            best_j, fbase, gcfg, pileup):
     """One saved-probe pass-2 dispatch: picks the narrow int32 postings
     (genome-local coords) when the panel fits them, and the multi-word
@@ -355,19 +359,19 @@ def _dispatch_pileup_saved(kj, cj, ii_all, h_all, dev: DeviceIndex,
             else dev.postings)
     pileup_fn = (pileup_from_saved_words_jit if h_all.ndim == 4
                  else pileup_from_saved_jit)
-    return pileup_fn(kj, cj, ii_all, h_all, dev.offsets, post, pileup,
+    return pileup_fn(kj, cj, start_all, h_all, post, pileup,
                      best_j, fbase, gcfg)
 
 
 def run_pileup_saved(kj, cj, saved, dev: DeviceIndex, best: int, mcfg,
                      n_kmers: int | None = None, exact_lanes: int | None = None):
     """Pass 2 via the probe-reuse path (no search): genome-local posting
-    ranges derive from pass 1's saved probe + the bucket histograms.
-    exact_lanes (from tally_save_jit's lane_totals) sizes the expansion to
-    the true posting load."""
+    ranges derive from pass 1's saved probe (CSR row starts) + the bucket
+    histograms. exact_lanes (from tally_save_jit's lane_totals) sizes the
+    expansion to the true posting load."""
     from dataclasses import replace
 
-    ii_all, h_all = saved
+    start_all, h_all = saved
     gcfg = replace(
         mcfg,
         total_len=dev.g_total_len,
@@ -379,7 +383,7 @@ def run_pileup_saved(kj, cj, saved, dev: DeviceIndex, best: int, mcfg,
     while True:
         pileup = jnp.zeros((4, gcfg.total_len + 1, 4), jnp.int32)
         pileup, overflow = _dispatch_pileup_saved(
-            kj, cj, ii_all, h_all, dev, best_j, fbase, gcfg, pileup)
+            kj, cj, start_all, h_all, dev, best_j, fbase, gcfg, pileup)
         if not int(overflow):
             return pileup
         log.info("pileup lane budget exceeded (%d); retrying", gcfg.lane_budget)
@@ -539,14 +543,14 @@ def _map_one(
             # (~2 relay round-trips/sample otherwise).
             tj = jnp.zeros((dev.num_genomes, 3), jnp.int32)
             if dev.hist is not None:
-                tj, lane_tot, ii_all, h_all = tally_save_jit(
+                tj, lane_tot, start_all, h_all = tally_save_jit(
                     kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
             else:
-                tj, lane_tot, ii_all, h_all = tally_save_words_jit(
+                tj, lane_tot, start_all, h_all = tally_save_words_jit(
                     kj, cj, dev.keys, dev.offsets, dev.hist_words, tj, mcfg)
             return PendingMap(
                 kj=kj, cj=cj, tj=tj, lane_tot=lane_tot,
-                saved=(ii_all, h_all), mcfg=mcfg,
+                saved=(start_all, h_all), mcfg=mcfg,
                 n_kmers=kmers.shape[0], cstats=cstats, t_start=t0)
         elif sharded is not None:
             tallies = sharded.run_tallies(kj, cj)
@@ -580,7 +584,7 @@ class PendingMap:
     cj: object
     tj: object          # (G, 3) int32 device tallies
     lane_tot: object    # (G,) int64 device exact pass-2 lane loads
-    saved: tuple        # (ii_all, h_all) probe artifacts on device
+    saved: tuple        # (start_all, h_all) probe artifacts on device
     mcfg: object
     n_kmers: int
     cstats: CountStats
@@ -672,7 +676,7 @@ class PendingStream:
     tallies sync + genome selection + pass-2 dispatch deferred to the
     worker thread (resolve()), exactly like PendingMap."""
     tj: object          # (G, 3) int32 device tallies (all partitions)
-    parts: list         # [(kj, cj, ii_all, h_all, lane_tot)] device arrays
+    parts: list         # [(kj, cj, start_all, h_all, lane_tot)] device arrays
     mcfg: object
     n_kmers: int
     cstats: CountStats
@@ -705,10 +709,10 @@ class PendingStream:
                 max_bucket=dev.g_max_bucket,
                 lane_budget=_lane_class(int(lts[:, best].max())),
             )
-            for kj, cj, ii_all, h_all, _lt in saved:
+            for kj, cj, start_all, h_all, _lt in saved:
                 # exact budgets can't overflow: the flag needs no retry loop
                 pileup, _ov = _dispatch_pileup_saved(
-                    kj, cj, ii_all, h_all, dev, best_j, fbase, gcfg, pileup)
+                    kj, cj, start_all, h_all, dev, best_j, fbase, gcfg, pileup)
         if unsaved:
             # probe-budget-capped partitions re-probe the selected genome's
             # sub-index; overflow retries recompute from a zeroed pileup
@@ -768,7 +772,7 @@ def _stream_pass1(
     hist = dev.hist if dev.hist is not None else dev.hist_words
     h_bytes = hist.dtype.itemsize * (hist.shape[1] if hist.ndim == 2 else 1)
     tj = jnp.zeros((dev.num_genomes, 3), jnp.int32)
-    parts = []  # (kj, cj, ii_all|None, h_all|None, lane_tot|None)
+    parts = []  # (kj, cj, start_all|None, h_all|None, lane_tot|None)
     stats_sum = CountStats()
     n_kmers = 0
     saved_bytes = 0
@@ -787,12 +791,12 @@ def _stream_pass1(
         saved_bytes += kj.size * J * (4 + h_bytes)
         if saved_bytes <= PROBE_BYTES_CAP:
             if dev.hist is not None:
-                tj, lt, ii_all, h_all = tally_save_jit(
+                tj, lt, start_all, h_all = tally_save_jit(
                     kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
             else:
-                tj, lt, ii_all, h_all = tally_save_words_jit(
+                tj, lt, start_all, h_all = tally_save_words_jit(
                     kj, cj, dev.keys, dev.offsets, dev.hist_words, tj, mcfg)
-            parts.append((kj, cj, ii_all, h_all, lt))
+            parts.append((kj, cj, start_all, h_all, lt))
         else:  # probe budget spent: tally only; resolve() re-probes
             mode = "hist" if dev.hist is not None else "words"
             tj, _ov = tally_all_jit(kj, cj, dev.keys, dev.offsets,

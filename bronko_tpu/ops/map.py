@@ -150,12 +150,12 @@ def probe_scatter(
     N2 = B * J
     LB = cfg.lane_budget if cfg.lane_budget else B * J * cfg.lane_factor
 
-    ii_c, hit, canon, is_rc = _probe(kmers, counts, keys, cfg=cfg)
+    start, lens, canon, is_rc = _probe_ranges(kmers, counts, keys, offsets,
+                                              cfg=cfg)
     pc = _fold_pc(kmers, counts, cfg=cfg, canon=canon, is_rc=is_rc)
 
-    startf = offsets[ii_c].reshape(N2)
-    endf = offsets[ii_c + 1].reshape(N2)
-    lensf = jnp.where(hit.reshape(N2), endf - startf, 0)
+    startf = start.reshape(N2)
+    lensf = lens.reshape(N2)
 
     own_c, pidx_s, lane_valid, total = _expand_lanes(startf, lensf, LB)
     pileup, b, fid = _scatter_lanes(
@@ -301,22 +301,30 @@ def map_batch_jit(kmers, counts, keys, offsets, postings, pileup, tallies, cfg: 
     return map_batch(kmers, counts, keys, offsets, postings, pileup, tallies, cfg=cfg)
 
 
-def _merge_probe(q, keys, payload=None):
-    """Sorted-merge probe: one stable-ish sort of concat(keys, queries)
-    finds, for every query, the row of the last key <= it and whether that
-    key equals it — replacing jnp.searchsorted(method='sort') + the
-    key-verification gather (searchsorted internally pays TWO argsorts plus
-    two rank scatters; measured 168 ms -> 86 ms for the bench-shaped tally
-    probe). With `payload` (a per-key row array, e.g. the bucket genome
-    histogram, (U,) or (U,W)), the payload value is picked up INSIDE the
-    merge via a monotone row gather and carried through the unsort, fusing
-    the histogram lookup into the probe.
+def _merge_probe(q, keys, payloads):
+    """Sorted-merge probe: one sort of concat(keys, queries) finds, for
+    every query, the last key <= it and whether that key equals it —
+    replacing jnp.searchsorted(method='sort') + the key-verification
+    gather (searchsorted internally pays TWO argsorts plus two rank
+    scatters; measured 168 ms -> 86 ms for the bench-shaped tally probe).
 
-    Returns (ii (B,J) int32 row of the matching key — clamped junk where
-    miss, hit (B,J) bool[, h (B,J[,W]) payload.dtype — 0 where miss])."""
+    The equality check rides a u64 cummax instead of gathering
+    keys[rank]: xs_s ascends, so the LAST key <= x is also the MAX key
+    value so far (measured: the 8-byte keys gather cost 26 ns/lane — 85 ms
+    of a 204 ms tally pass — while the cummax is within dispatch noise;
+    tools/bench_stages2_tpu.py).
+
+    `payloads` is a tuple of per-key-row arrays ((U,) or (U, W) — e.g.
+    the bucket genome histogram, the CSR row starts/ends). Each value is
+    picked up INSIDE the merge via a monotone int32-class row gather,
+    zeroed on miss, and carried through the unsort — so misses need no
+    explicit hit flag (a real bucket's histogram word is >= 1 and its CSR
+    extent has end > start; zeros encode 'no postings' in both).
+
+    Returns a tuple of per-query payload value arrays, each (B, J) (or
+    (B, J, W) for 2-D payloads), zeroed where the query missed."""
     U = keys.shape[0]
     Bq = q.size
-    assert U < (1 << 30), "merge probe packs key rows into 30 bits"
     xs = jnp.concatenate([keys, q.reshape(Bq)])
     # ONE packed secondary operand: keys get 0 (so they precede equal
     # queries), queries get 1 + their ordinal (so the later unsort can
@@ -328,27 +336,28 @@ def _merge_probe(q, keys, payload=None):
     is_key = ot_s == 0
     rank = jnp.cumsum(is_key.astype(jnp.int32)) - 1      # row of last key <= x
     rank_c = jnp.maximum(rank, 0)
-    # the last key <= x has row `rank`; keys[rank_c] is a MONOTONE gather
-    # (rank is non-decreasing in merge order — far cheaper than a u64
-    # cummax scan); rank >= 0 guards queries below every key
-    eq = (keys[rank_c] == xs_s) & (rank >= 0)
-    packed = rank_c | (eq.astype(jnp.int32) << 30)
+    # duplicate keys resolve to the LAST equal row (rank counts all of
+    # them), which the sentinel-collision fix relies on; rank >= 0 guards
+    # queries below every key (and queries equal to a key value of 0)
+    prop = jax.lax.cummax(jnp.where(is_key, xs_s, jnp.zeros((), xs.dtype)))
+    eq = (prop == xs_s) & (rank >= 0)
+    cols = []
+    for p in payloads:
+        p2 = p if p.ndim == 2 else p[:, None]
+        cols.extend(jnp.where(eq, p2[rank_c, w], jnp.zeros((), p2.dtype))
+                    for w in range(p2.shape[1]))         # monotone gathers
     # unsort the queries: keys push to the end with an out-of-range ordinal
     ordk = jnp.where(is_key, jnp.int32(2**31 - 1), ot_s)
-    cols = ()
-    if payload is not None:
-        p2 = payload if payload.ndim == 2 else payload[:, None]
-        cols = tuple(jnp.where(eq, p2[rank_c, w], jnp.zeros((), p2.dtype))
-                     for w in range(p2.shape[1]))        # monotone gathers
-    out = jax.lax.sort((ordk, packed) + cols, num_keys=1, is_stable=False)
-    packed_q = out[1][:Bq].reshape(q.shape)
-    ii = packed_q & ((1 << 30) - 1)
-    hit = (packed_q >> 30) == 1
-    if payload is None:
-        return ii, hit
-    h_cols = [c[:Bq].reshape(q.shape) for c in out[2:]]
-    h = h_cols[0] if payload.ndim == 1 else jnp.stack(h_cols, axis=-1)
-    return ii, hit, h
+    out = jax.lax.sort((ordk, *cols), num_keys=1, is_stable=False)
+    vals = []
+    ci = 1
+    for p in payloads:
+        w = 1 if p.ndim == 1 else p.shape[1]
+        h_cols = [out[ci + j][:Bq].reshape(q.shape) for j in range(w)]
+        vals.append(h_cols[0] if p.ndim == 1
+                    else jnp.stack(h_cols, axis=-1))
+        ci += w
+    return tuple(vals)
 
 
 def _bucket_q(kmers, *, cfg: MapConfig):
@@ -364,33 +373,44 @@ def _bucket_q(kmers, *, cfg: MapConfig):
     return buckets[:, np.asarray(cfg.positions)], canon, is_rc
 
 
-def _probe(kmers, counts, keys, *, cfg: MapConfig):
-    """Shared probe front end: canonicalize, bucket, merge-probe.
+def _probe_ranges(kmers, counts, keys, offsets, *, cfg: MapConfig):
+    """Probe + CSR range pickup: the matching bucket's posting range
+    [start, end) rides the merge probe's own unsort (two monotone int32
+    gathers in merge order) instead of two random offsets[ii] gathers in
+    query order afterwards.
 
-    Returns (q_rowidx (B,J) int32, hit (B,J) bool, canon, is_rc). The
-    CSR offsets are NOT consumed here — the merge probe only resolves
-    key rows; callers expand posting ranges themselves."""
+    Returns (start (B,J) i32, lens (B,J) i32 — 0 on miss and on padding
+    k-mers, canon, is_rc)."""
     q, canon, is_rc = _bucket_q(kmers, cfg=cfg)
-    ii_c, hit = _merge_probe(q, keys)
-    hit = hit & (counts > 0)[:, None]
-    return ii_c, hit, canon, is_rc
+    U = keys.shape[0]
+    start, end = _merge_probe(q, keys, (offsets[:U], offsets[1:U + 1]))
+    lens = jnp.where((counts > 0)[:, None], end - start, 0)
+    return start, lens, canon, is_rc
 
 
-def _probe_payload(kmers, counts, keys, payload, *, cfg: MapConfig):
+def _probe_hist(kmers, counts, keys, payload, *, cfg: MapConfig,
+                offsets=None):
     """Probe with the per-bucket histogram fused into the merge sort:
     the histogram row rides the probe's own unsort as extra sort operands
     (picked up by a MONOTONE gather in merge order) instead of a separate
-    random `hist[ii_c]` gather after the probe.
+    random `hist[ii]` gather after the probe. With `offsets`, the CSR row
+    start is picked up too (the probe-reuse pass 2 then needs no gather
+    of its own — it derives posting ranges from start + histogram
+    prefixes alone).
 
-    Returns (ii_c, hit, h, canon, is_rc) with h zeroed on miss AND on
+    Returns (h, start_or_None, canon, is_rc) with h zeroed on miss AND on
     padding k-mers."""
     q, canon, is_rc = _bucket_q(kmers, cfg=cfg)
-    ii_c, hit, h = _merge_probe(q, keys, payload)
+    if offsets is None:
+        (h,) = _merge_probe(q, keys, (payload,))
+        start = None
+    else:
+        h, start = _merge_probe(q, keys,
+                                (payload, offsets[:keys.shape[0]]))
     valid = (counts > 0)[:, None]
-    hit = hit & valid
     mask = valid if h.ndim == valid.ndim else valid[..., None]
     h = jnp.where(mask, h, jnp.zeros((), h.dtype))
-    return ii_c, hit, h, canon, is_rc
+    return h, start, canon, is_rc
 
 
 def _hist_hits(h, G: int):
@@ -423,7 +443,7 @@ def tally_hist(kmers, counts, keys, hist, *, cfg: MapConfig):
     """Tally pass via the per-bucket genome histogram: ONE packed gather
     per (kmer, bucket) query instead of one per posting lane. Valid for
     G <= 8 genomes with bucket sizes <= 255 (checked at index load)."""
-    _, _, h, _, _ = _probe_payload(kmers, counts, keys, hist, cfg=cfg)
+    h, _, _, _ = _probe_hist(kmers, counts, keys, hist, cfg=cfg)
     return _hist_hits(h, cfg.num_genomes)
 
 
@@ -431,7 +451,7 @@ def tally_hist_multi(kmers, counts, keys, hist_words, *, cfg: MapConfig):
     """Large-panel tally (any G > 8): per-bucket genome counts packed 8
     per int64 word. ceil(G/8) gathers per query — independent of how many
     postings the panel piles into each bucket."""
-    _, _, hw, _, _ = _probe_payload(kmers, counts, keys, hist_words, cfg=cfg)
+    hw, _, _, _ = _probe_hist(kmers, counts, keys, hist_words, cfg=cfg)
     return _hist_hits_words(hw, cfg.num_genomes)
 
 
@@ -442,11 +462,9 @@ def tally_flat(kmers, counts, keys, offsets, postings, *, cfg: MapConfig):
     J = len(cfg.positions)
     N2 = B * J
     LB = cfg.lane_budget if cfg.lane_budget else B * J * cfg.lane_factor
-    ii_c, hit, _, _ = _probe(kmers, counts, keys, cfg=cfg)
-    startf = offsets[ii_c].reshape(N2)
-    endf = offsets[ii_c + 1].reshape(N2)
-    lens = jnp.where(hit.reshape(N2), endf - startf, 0)
-    own_c, pidx, lane_valid, total = _expand_lanes(startf, lens, LB)
+    start, lens, _, _ = _probe_ranges(kmers, counts, keys, offsets, cfg=cfg)
+    own_c, pidx, lane_valid, total = _expand_lanes(
+        start.reshape(N2), lens.reshape(N2), LB)
     fid = (postings[pidx] & 0x3FFFFF).astype(jnp.int32) >> 6
     hits = jnp.zeros((B, cfg.num_genomes), jnp.int32).at[own_c // J, fid].add(
         lane_valid.astype(jnp.int32), mode="drop")
@@ -485,8 +503,12 @@ def tally_all_jit(kmers, counts, keys, offsets, postings, hist, tallies,
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(5,))
 def tally_save_jit(kmers, counts, keys, offsets, hist, tallies, cfg: MapConfig):
     """Pass 1 with probe reuse: histogram tallies PLUS the per-batch probe
-    artifacts (bucket row index, packed histogram) that let pass 2 skip its
-    own search entirely.
+    artifacts (the matching bucket's CSR row START, packed histogram) that
+    let pass 2 skip its own search entirely. The start rides the probe's
+    own unsort as a monotone int32 gather, so pass 2 pays NO random
+    offsets[row] gather (measured 26 ns/lane for post-probe u64/row
+    gathers vs noise for in-merge monotone ones;
+    tools/bench_stages2_tpu.py).
 
     Also returns lane_totals (G,) int64 — the EXACT per-batch posting-lane
     load each genome would incur in pass 2, maxed over batches (so it
@@ -500,15 +522,16 @@ def tally_save_jit(kmers, counts, keys, offsets, hist, tallies, cfg: MapConfig):
     def body(carry, batch):
         tl, lt = carry
         km, ct = batch
-        ii_c, _, h, _, _ = _probe_payload(km, ct, keys, hist, cfg=cfg)
+        h, start, _, _ = _probe_hist(km, ct, keys, hist, cfg=cfg,
+                                     offsets=offsets)
         hits = _hist_hits(h, G)
         tl = tl + classify_tallies(hits, ct > 0, nb_pos)
         lt = jnp.maximum(lt, hits.sum(axis=0, dtype=jnp.int64))
-        return (tl, lt), (ii_c, h)  # h keeps the hist dtype (int64 when G > 4)
+        return (tl, lt), (start, h)  # h keeps the hist dtype (int64, G > 4)
 
-    (tallies, lane_totals), (ii_all, h_all) = jax.lax.scan(
+    (tallies, lane_totals), (start_all, h_all) = jax.lax.scan(
         body, (tallies, jnp.zeros(G, jnp.int64)), (kmers, counts))
-    return tallies, lane_totals, ii_all, h_all
+    return tallies, lane_totals, start_all, h_all
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(5,))
@@ -520,35 +543,38 @@ def tally_save_words_jit(kmers, counts, keys, offsets, hist_words, tallies,
     32-strain panel this removes the duplicated sub-index upload entirely
     (measured 709 MB -> ~half at ~1 MB/s through the serving tunnel).
 
-    Returns (tallies, lane_totals (G,) int64 per-batch max, ii_all, hw_all)
-    where hw_all is (nb, B, J, W) int64."""
+    Returns (tallies, lane_totals (G,) int64 per-batch max, start_all,
+    hw_all) where hw_all is (nb, B, J, W) int64 and start_all carries the
+    matching bucket's CSR row start (pass 2 needs no gather of its own)."""
     nb_pos = len(cfg.positions)
     G = cfg.num_genomes
 
     def body(carry, batch):
         tl, lt = carry
         km, ct = batch
-        ii_c, _, hw, _, _ = _probe_payload(km, ct, keys, hist_words, cfg=cfg)
+        hw, start, _, _ = _probe_hist(km, ct, keys, hist_words, cfg=cfg,
+                                      offsets=offsets)
         hits = _hist_hits_words(hw, G)
         tl = tl + classify_tallies(hits, ct > 0, nb_pos)
         lt = jnp.maximum(lt, hits.sum(axis=0, dtype=jnp.int64))
-        return (tl, lt), (ii_c, hw)
+        return (tl, lt), (start, hw)
 
-    (tallies, lane_totals), (ii_all, hw_all) = jax.lax.scan(
+    (tallies, lane_totals), (start_all, hw_all) = jax.lax.scan(
         body, (tallies, jnp.zeros(G, jnp.int64)), (kmers, counts))
-    return tallies, lane_totals, ii_all, hw_all
+    return tallies, lane_totals, start_all, hw_all
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(6,))
-def pileup_from_saved_words_jit(kmers, counts, ii_all, hw_all, offsets,
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(5,))
+def pileup_from_saved_words_jit(kmers, counts, start_all, hw_all,
                                 postings, pileup, best, file_base,
                                 cfg: MapConfig):
     """Pass 2 from the multi-word saved probe (G > 8): the selected
-    genome's posting range within each bucket derives from its histogram
-    byte (length) plus the sum of all lower genomes' bytes (prefix), split
-    into whole-words-below + partial-word parts so no (B,J,G) intermediate
-    materializes. `best` is a traced scalar — one executable serves every
-    selected genome."""
+    genome's posting range within each bucket derives from the SAVED CSR
+    row start plus its histogram byte (length) and the sum of all lower
+    genomes' bytes (prefix), split into whole-words-below + partial-word
+    parts so no (B,J,G) intermediate materializes — and no gather at all
+    (the start already rode pass 1's merge unsort). `best` is a traced
+    scalar — one executable serves every selected genome."""
     k = cfg.k
     J = len(cfg.positions)
     W = hw_all.shape[-1]
@@ -556,7 +582,7 @@ def pileup_from_saved_words_jit(kmers, counts, ii_all, hw_all, offsets,
 
     def body(carry, batch):
         pl, ov = carry
-        km, ct, ii_c, hw = batch
+        km, ct, start, hw = batch
         B = km.shape[0]
         N2 = B * J
         LB = cfg.lane_budget if cfg.lane_budget else B * J * cfg.lane_factor
@@ -578,7 +604,7 @@ def pileup_from_saved_words_jit(kmers, counts, ii_all, hw_all, offsets,
         full_prefix = jnp.sum(jnp.where(word_ids < wb, bs, 0), axis=-1)
         prefix = (full_prefix + part_prefix).astype(jnp.int32)
         lensf = lens.astype(jnp.int32).reshape(N2)
-        startf = (offsets[ii_c] + prefix).reshape(N2).astype(jnp.int32)
+        startf = (start + prefix).reshape(N2).astype(jnp.int32)
 
         own_c, pidx_s, lane_valid, total = _expand_lanes(startf, lensf, LB)
         pl, _, _ = _scatter_lanes(pl, pc, postings[pidx_s], own_c, lane_valid,
@@ -586,22 +612,23 @@ def pileup_from_saved_words_jit(kmers, counts, ii_all, hw_all, offsets,
         return (pl, ov | (total > LB).astype(jnp.int32)), None
 
     (pileup, overflow), _ = jax.lax.scan(
-        body, (pileup, jnp.int32(0)), (kmers, counts, ii_all, hw_all))
+        body, (pileup, jnp.int32(0)), (kmers, counts, start_all, hw_all))
     return pileup, overflow
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(6,))
-def pileup_from_saved_jit(kmers, counts, ii_all, h_all, offsets, postings,
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(5,))
+def pileup_from_saved_jit(kmers, counts, start_all, h_all, postings,
                           pileup, best, file_base, cfg: MapConfig):
-    """Pass 2 without a probe: per-genome posting ranges derive from the
-    saved bucket rows + histogram bytes (postings are fid-grouped within a
-    bucket, asserted at index load). `best` and `file_base` are traced
-    scalars, so one executable serves every selected genome."""
+    """Pass 2 without a probe and without gathers: per-genome posting
+    ranges derive from the SAVED CSR row starts + histogram bytes
+    (postings are fid-grouped within a bucket, asserted at index load).
+    `best` and `file_base` are traced scalars, so one executable serves
+    every selected genome."""
     k = cfg.k
     J = len(cfg.positions)
     def body(carry, batch):
         pl, ov = carry
-        km, ct, ii_c, h = batch
+        km, ct, start, h = batch
         B = km.shape[0]
         N2 = B * J
         LB = cfg.lane_budget if cfg.lane_budget else B * J * cfg.lane_factor
@@ -619,7 +646,7 @@ def pileup_from_saved_jit(kmers, counts, ii_all, h_all, offsets, postings,
         for byte in range(h.dtype.itemsize):
             prefix = prefix + (((below >> h.dtype.type(8 * byte))
                                 & h.dtype.type(0xFF)).astype(jnp.int32))
-        startf = (offsets[ii_c] + prefix).reshape(N2).astype(jnp.int32)
+        startf = (start + prefix).reshape(N2).astype(jnp.int32)
         lensf = lens.reshape(N2)
 
         own_c, pidx_s, lane_valid, total = _expand_lanes(startf, lensf, LB)
@@ -628,7 +655,7 @@ def pileup_from_saved_jit(kmers, counts, ii_all, h_all, offsets, postings,
         return (pl, ov | (total > LB).astype(jnp.int32)), None
 
     (pileup, overflow), _ = jax.lax.scan(
-        body, (pileup, jnp.int32(0)), (kmers, counts, ii_all, h_all))
+        body, (pileup, jnp.int32(0)), (kmers, counts, start_all, h_all))
     return pileup, overflow
 
 

@@ -51,6 +51,15 @@ class ShardedIndex:
     shard_files: list[list[int]]   # file ids per shard
     seq_slices: list[SeqSlice]     # offsets local to shard pileup space
     genome_lens: np.ndarray
+    # per-SHARD per-bucket genome histograms (global fid byte slots, same
+    # packing rules as the unsharded DeviceIndex): each shard's word only
+    # carries bytes for its OWN genomes, so a psum over the 'genome' mesh
+    # axis reassembles the global packed word carry-free — the
+    # one-gather-per-query tally then works on genome-sharded meshes too
+    # (VERDICT r2 item 4). None when a bucket's per-genome count exceeds
+    # the byte field (flat fallback).
+    hist: np.ndarray | None = None        # (S, U_max) int32 (G<=4) / int64 (G<=8)
+    hist_words: np.ndarray | None = None  # (S, U_max, ceil(G/8)) int64
 
     def map_config(self, n_fixed: int, use_full_kmer: bool) -> MapConfig:
         from bronko_tpu.ops.map import make_map_config
@@ -132,15 +141,36 @@ def split_index(index: BronkoIndex, n_shards: int) -> ShardedIndex:
         spost = (sgpos << 22) | spmeta
         ukeys, start = np.unique(skeys, return_index=True)
         soff = np.concatenate([start, [skeys.shape[0]]]).astype(np.int32)
-        shard_arrays.append((ukeys, soff, spost))
+        # per-shard per-bucket per-GLOBAL-genome posting counts
+        sh = np.zeros((ukeys.shape[0], G), np.int64)
+        if spost.shape[0]:
+            brow = np.repeat(np.arange(ukeys.shape[0], dtype=np.int64),
+                             np.diff(soff))
+            np.add.at(sh, (brow, p_fid[sel][order]), 1)
+        shard_arrays.append((ukeys, soff, spost, sh))
         U_max = max(U_max, ukeys.shape[0])
         P_max = max(P_max, spost.shape[0])
+
+    # histogram packing decided GLOBALLY (all shards share dtype/shape);
+    # same rules as build_device_index: int32 single word for G<=4 panels
+    # whose top byte stays under the sign bit, int64 single word to G<=8,
+    # 8-genomes-per-int64 words beyond, flat fallback past byte range
+    hmax = max((int(sh.max()) if sh.size else 0)
+               for *_, sh in shard_arrays) if shard_arrays else 0
+    n_words = -(-G // 8) if G else 1
+    hist = hist_words = None
+    if 0 < G <= 4 and (G < 4 or hmax <= 127) and hmax <= 255:
+        hist = np.zeros((n_shards, U_max), np.int32)
+    elif 0 < G <= 8 and hmax <= 255:
+        hist = np.zeros((n_shards, U_max), np.int64)
+    elif 8 < G and hmax <= 255 and n_shards * U_max * n_words * 8 <= (2 << 30):
+        hist_words = np.zeros((n_shards, U_max, n_words), np.int64)
 
     keys = np.full((n_shards, U_max), KEY_SENTINEL, np.uint64)
     offsets = np.zeros((n_shards, U_max + 1), np.int32)
     postings = np.zeros((n_shards, P_max), np.int64)
     max_bucket = 1
-    for s, (ukeys, soff, spost) in enumerate(shard_arrays):
+    for s, (ukeys, soff, spost, sh) in enumerate(shard_arrays):
         u = ukeys.shape[0]
         keys[s, :u] = ukeys
         offsets[s, :u + 1] = soff
@@ -149,6 +179,20 @@ def split_index(index: BronkoIndex, n_shards: int) -> ShardedIndex:
         postings[s, :spost.shape[0]] = spost
         if u:
             max_bucket = max(max_bucket, int(np.max(np.diff(soff[:u + 1]))))
+        if hist is not None:
+            packed = (sh << (8 * np.arange(G, dtype=np.int64))).sum(axis=1)
+            hist[s, :u] = packed.astype(hist.dtype)
+        elif hist_words is not None:
+            for g in range(G):
+                hist_words[s, :u, g // 8] |= sh[:, g] << (8 * (g % 8))
+        # sentinel-collision twin of the CSR fix: the probe resolves a
+        # REAL sentinel-valued bucket to the LAST padded row, so its
+        # histogram word must live there too
+        if u and u < U_max and ukeys[-1] == KEY_SENTINEL:
+            if hist is not None:
+                hist[s, U_max - 1] = hist[s, u - 1]
+            elif hist_words is not None:
+                hist_words[s, U_max - 1] = hist_words[s, u - 1]
 
     return ShardedIndex(
         k=index.k,
@@ -160,6 +204,8 @@ def split_index(index: BronkoIndex, n_shards: int) -> ShardedIndex:
         shard_files=shard_files,
         seq_slices=seq_slices,
         genome_lens=np.asarray([f.total_len for f in index.files], np.int64),
+        hist=hist,
+        hist_words=hist_words,
     )
 
 
@@ -241,9 +287,11 @@ def make_sharded_tally_scan(mesh: Mesh, cfg: MapConfig, mode: str = "flat",
     over 'data' happens once at the end.
 
     mode: 'flat' works on any genome-sharded index; 'hist'/'words' use the
-    per-bucket genome histogram (one gather per query instead of a posting
-    lane expansion) and are valid only when the genome axis is 1 (the
-    histogram indexes the UNSHARDED bucket table).
+    PER-SHARD per-bucket genome histogram (ShardedIndex.hist[_words]; one
+    gather per query instead of a posting lane expansion). Each shard's
+    packed word carries bytes only for its own genomes (sharding is
+    whole-files), so a psum over 'genome' reassembles the global packed
+    word carry-free before the byte-widened hit sum.
 
     shard_batches: shard the nb axis over 'data' (whole batches per
     device) instead of splitting each batch's B lanes. The merge probe
@@ -258,26 +306,29 @@ def make_sharded_tally_scan(mesh: Mesh, cfg: MapConfig, mode: str = "flat",
 
     Returns step(kj (nb,B), cj, keys, offsets, postings, hist) ->
     (tallies (G,3) replicated, overflow (1,))."""
-    from bronko_tpu.ops.map import tally_flat, tally_hist, tally_hist_multi
+    from bronko_tpu.ops.map import (
+        _hist_hits, _hist_hits_words, _probe_hist, tally_flat,
+    )
 
-    if mode != "flat" and mesh.shape["genome"] != 1:
-        raise ValueError("histogram tally modes need a genome axis of 1")
     nb_pos = len(cfg.positions)
 
     def local_fn(kj, cj, keys, offsets, postings, hist):
         def body(carry, batch):
             tl, ov = carry
             km, ct = batch
-            if mode == "hist":
-                hits = tally_hist(km, ct, keys[0], hist, cfg=cfg)
-                ov2 = jnp.int32(0)
-            elif mode == "words":
-                hits = tally_hist_multi(km, ct, keys[0], hist, cfg=cfg)
+            if mode in ("hist", "words"):
+                # packed per-shard histogram words psum over 'genome'
+                # BEFORE the byte-widened hit sum: each byte field is
+                # nonzero on exactly one shard, so the sum is carry-free
+                h, _, _, _ = _probe_hist(km, ct, keys[0], hist[0], cfg=cfg)
+                h = jax.lax.psum(h, "genome")
+                hits = (_hist_hits(h, cfg.num_genomes) if mode == "hist"
+                        else _hist_hits_words(h, cfg.num_genomes))
                 ov2 = jnp.int32(0)
             else:
                 hits, ov2 = tally_flat(km, ct, keys[0], offsets[0], postings[0],
                                        cfg=cfg)
-            hits = jax.lax.psum(hits, "genome")
+                hits = jax.lax.psum(hits, "genome")
             tl = tl + classify_tallies(hits, ct > 0, nb_pos)
             return (tl, ov | ov2), None
 
@@ -288,13 +339,15 @@ def make_sharded_tally_scan(mesh: Mesh, cfg: MapConfig, mode: str = "flat",
         return tl, ov[None]
 
     kj_spec = P("data", None) if shard_batches else P(None, "data")
+    hist_spec = (P(None) if mode == "flat"
+                 else P("genome", *([None] * (2 if mode == "words" else 1))))
     return jax.jit(jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(
             kj_spec, kj_spec,
             P("genome", None), P("genome", None), P("genome", None),
-            P(None),
+            hist_spec,
         ),
         out_specs=(P(None, None), P(None)),
         check_vma=False,

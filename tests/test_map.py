@@ -256,9 +256,9 @@ def test_pileup_saved_equals_subindex_path(tmp_path):
     kj, cj = _prepare_batches(kmers, counts, 128)
 
     tj = jnp.zeros((dev.num_genomes, 3), jnp.int32)
-    tj, lane_tot, ii_all, h_all = tally_save_jit(kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
+    tj, lane_tot, start_all, h_all = tally_save_jit(kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
     for best in range(4):
-        p_saved = np.asarray(run_pileup_saved(kj, cj, (ii_all, h_all), dev, best,
+        p_saved = np.asarray(run_pileup_saved(kj, cj, (start_all, h_all), dev, best,
                                               mcfg, n_kmers=len(kmers),
                                               exact_lanes=int(np.asarray(lane_tot)[best])))
         p_sub = np.asarray(run_pileup_pass(kj, cj, dev, best, mcfg,
@@ -344,7 +344,7 @@ def test_words_probe_reuse_large_panel(tmp_path):
     kj = jnp.asarray(kb.reshape(nb, B)); cj = jnp.asarray(cb.reshape(nb, B))
 
     t0 = jnp.zeros((13, 3), jnp.int32)
-    tj, lane_tot, ii_all, hw_all = tally_save_words_jit(
+    tj, lane_tot, start_all, hw_all = tally_save_words_jit(
         kj, cj, dev.keys, dev.offsets, dev.hist_words, t0, mcfg)
     t1 = jnp.zeros((13, 3), jnp.int32)
     t_words, _ = tally_all_jit(kj, cj, dev.keys, dev.offsets, dev.postings,
@@ -358,7 +358,7 @@ def test_words_probe_reuse_large_panel(tmp_path):
                        lane_budget=_lane_class(int(lane_tot[best]), floor=1 << 10))
         pileup = jnp.zeros((4, gcfg.total_len + 1, 4), jnp.int32)
         pileup, ov = pileup_from_saved_words_jit(
-            kj, cj, ii_all, hw_all, dev.offsets, dev.postings, pileup,
+            kj, cj, start_all, hw_all, dev.postings, pileup,
             jnp.int32(best), jnp.int32(int(dev.file_bases[best])), gcfg)
         assert int(ov) == 0, best
         p_sub = np.asarray(run_pileup_pass(kj, cj, dev, best, mcfg,
@@ -388,14 +388,14 @@ def test_pileup_saved_narrow_equals_wide(tmp_path):
     kj, cj = _prepare_batches(kmers, counts, 128)
 
     tj = jnp.zeros((dev.num_genomes, 3), jnp.int32)
-    tj, lane_tot, ii_all, h_all = tally_save_jit(
+    tj, lane_tot, start_all, h_all = tally_save_jit(
         kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
     from dataclasses import replace
     for best in range(3):
         gcfg = replace(mcfg, total_len=dev.g_total_len,
                        max_bucket=dev.g_max_bucket, lane_budget=1 << 14)
         fbase = jnp.int32(int(dev.file_bases[best]))
-        args = (kj, cj, ii_all, h_all, dev.offsets)
+        args = (kj, cj, start_all, h_all)
         tail = (jnp.int32(best), fbase, gcfg)
         p64 = jnp.zeros((4, gcfg.total_len + 1, 4), jnp.int32)
         p64, ov64 = pileup_from_saved_jit(*args, dev.postings, p64, *tail)
@@ -426,9 +426,13 @@ def test_sentinel_key_collision_resolves_to_real_range():
     offsets[4:] = 7
     fix_sentinel_collision(ukeys, offsets, u_max)
 
-    q = jnp.asarray(np.array([[5, 0xFFFFFFFFFFFFFFFF]], np.uint64))
-    ii, hit = _merge_probe(q, jnp.asarray(keys))
-    assert bool(hit[0, 0]) and bool(hit[0, 1])
-    r0, r1 = int(ii[0, 0]), int(ii[0, 1])
-    assert int(offsets[r0 + 1]) - int(offsets[r0]) == 2  # bucket 5
-    assert int(offsets[r1 + 1]) - int(offsets[r1]) == 4  # sentinel bucket
+    # the probe picks up each query's CSR [start, end) inside the merge;
+    # a miss returns (0, 0)
+    q = jnp.asarray(np.array([[5, 0xFFFFFFFFFFFFFFFF, 7]], np.uint64))
+    off = jnp.asarray(offsets)
+    start, end = _merge_probe(q, jnp.asarray(keys),
+                              (off[:u_max], off[1:u_max + 1]))
+    lens = np.asarray(end) - np.asarray(start)
+    assert lens[0, 0] == 2 and int(start[0, 0]) == 0   # bucket 5
+    assert lens[0, 1] == 4 and int(start[0, 1]) == 3   # sentinel bucket
+    assert lens[0, 2] == 0                             # miss -> empty range

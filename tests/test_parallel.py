@@ -80,3 +80,94 @@ def test_split_index_balance(tmp_path):
     sh = split_index(index, 3)
     assert sorted(f for fl in sh.shard_files for f in fl) == list(range(6))
     assert sh.t_pad >= max(sh.shard_len)
+
+
+@pytest.mark.parametrize("n_data,n_genome", [(4, 2), (2, 4)])
+def test_sharded_tally_hist_matches_flat(tmp_path, n_data, n_genome):
+    """Per-SHARD per-bucket genome histograms (split_index.hist) carry the
+    one-gather-per-query tally to genome-sharded meshes: each shard's
+    packed word holds bytes only for its OWN genomes (global fid slots),
+    so the psum over 'genome' reassembles the global word carry-free.
+    Must equal both the flat sharded tally and the single-device tallies
+    exactly (call.rs:1390-1418 semantics on a DxG mesh)."""
+    from bronko_tpu.parallel.pipeline import make_sharded_tally_scan
+
+    rng = np.random.default_rng(17)
+    k = 21
+    files = [(f"g{f}", [(f"s{f}", random_genome(rng, 200 + 25 * f))])
+             for f in range(5)]
+    index = make_index(tmp_path, files, k)
+    kmer_counts = sample_kmers(rng, files, k, n_exact=120, n_mut=60, n_junk=12)
+
+    _, _, tallies1 = run_device_map(index, kmer_counts, batch=256)
+
+    mesh = make_mesh(n_data, n_genome)
+    sharded = split_index(index, n_genome)
+    assert sharded.hist is not None  # G=5 packs into int64 single words
+    mcfg = sharded.map_config(2, False)
+
+    kmers = np.asarray([kc[0] for kc in kmer_counts], np.uint64)
+    counts = np.asarray([kc[1] for kc in kmer_counts], np.int32)
+    B = 256
+    nb = -(-len(kmers) // B)
+    kb = np.zeros(nb * B, np.uint64); kb[:len(kmers)] = kmers
+    cb = np.zeros(nb * B, np.int32); cb[:len(counts)] = counts
+    kj, cj = jnp.asarray(kb.reshape(nb, B)), jnp.asarray(cb.reshape(nb, B))
+    keys = jnp.asarray(sharded.keys)
+    offsets = jnp.asarray(sharded.offsets)
+    postings = jnp.asarray(sharded.postings)
+
+    t_hist, ov_h = make_sharded_tally_scan(mesh, mcfg, "hist")(
+        kj, cj, keys, offsets, postings, jnp.asarray(sharded.hist))
+    t_flat, ov_f = make_sharded_tally_scan(mesh, mcfg, "flat")(
+        kj, cj, keys, offsets, postings, jnp.zeros(1, jnp.int64))
+    assert int(np.asarray(ov_h)[0]) == 0 and int(np.asarray(ov_f)[0]) == 0
+    assert np.array_equal(np.asarray(t_hist), np.asarray(t_flat))
+    assert np.array_equal(np.asarray(t_hist), tallies1)
+
+
+def test_sharded_tally_words_300_strains(tmp_path):
+    """300-strain capacity panel on a genome-sharded mesh: the per-shard
+    multi-word histograms (words mode, 38 int64 words/bucket) must tally
+    identically to the single-device multi-word path — the layout the
+    reference's 'hundreds of strains' (README.md:12) needs on a pod."""
+    from bronko_tpu.parallel.pipeline import make_sharded_tally_scan
+
+    rng = np.random.default_rng(41)
+    k = 21
+    base = random_genome(rng, 150)
+    files = []
+    for i in range(300):
+        g = bytearray(base)
+        for p in rng.integers(0, len(base), 6):
+            g[p] = b"ACGT"[rng.integers(4)]
+        files.append((f"g{i:03d}", [(f"s{i}", bytes(g))]))
+    index = make_index(tmp_path, files, k)
+    kmer_counts = sample_kmers(rng, files, k, n_exact=60, n_mut=25, n_junk=6)
+
+    dev = build_device_index(index)
+    assert dev.hist_words is not None
+    from bronko_tpu.ops.map import tally_all_jit
+
+    kmers = np.asarray([kc[0] for kc in kmer_counts], np.uint64)
+    counts = np.asarray([kc[1] for kc in kmer_counts], np.int32)
+    B = 128
+    nb = -(-len(kmers) // B)
+    kb = np.zeros(nb * B, np.uint64); kb[:len(kmers)] = kmers
+    cb = np.zeros(nb * B, np.int32); cb[:len(counts)] = counts
+    kj, cj = jnp.asarray(kb.reshape(nb, B)), jnp.asarray(cb.reshape(nb, B))
+
+    mcfg1 = dev.map_config(2, False)
+    t0 = jnp.zeros((300, 3), jnp.int32)
+    t_single, _ = tally_all_jit(kj, cj, dev.keys, dev.offsets, dev.postings,
+                                dev.hist_words, t0, mcfg1, "words")
+
+    mesh = make_mesh(2, 4)
+    sharded = split_index(index, 4)
+    assert sharded.hist is None and sharded.hist_words is not None
+    mcfg = sharded.map_config(2, False)
+    t_mesh, ov = make_sharded_tally_scan(mesh, mcfg, "words")(
+        kj, cj, jnp.asarray(sharded.keys), jnp.asarray(sharded.offsets),
+        jnp.asarray(sharded.postings), jnp.asarray(sharded.hist_words))
+    assert int(np.asarray(ov)[0]) == 0
+    assert np.array_equal(np.asarray(t_mesh), np.asarray(t_single))

@@ -92,10 +92,11 @@ def main() -> None:
           flush=True)
 
     # --- probe front end alone (sort-cost floor)
-    from bronko_tpu.ops.map import _probe
+    from bronko_tpu.ops.map import _probe_ranges
 
     probe_jit = jax.jit(
-        lambda km, ct: _probe(km, ct, dev.keys, dev.offsets, cfg=mcfg)[1])
+        lambda km, ct: _probe_ranges(km, ct, dev.keys, dev.offsets,
+                                     cfg=mcfg)[1])
 
     def run_probe():
         hits = [probe_jit(kj[i], cj[i]) for i in range(kj.shape[0])]
