@@ -21,11 +21,17 @@ detail carries the round-2 perf accounting (VERDICT r1 item 2):
     call_s (host f64 caller);
   * roofline: the map stages' irreducible work — the pass-1 merge-probe's
     two sorts of (U index keys + B*J bucket queries) lanes priced at the
-    2-operand u64 sort ceiling, plus the random-access lanes (pass-1
-    histogram pickup + pass-2 posting expansion x 4 accesses/lane) priced
-    at the random-gather ceiling — vs achieved device time -> roofline_pct.
-    Both ceilings are MEASURED IN-SESSION at the bench's own lane counts
-    (_measure_ceilings): the floor drifts with relay/compiler versions;
+    2-operand u64 sort ceiling, plus the random-access lanes (pass-2
+    posting expansion x 4 accesses/lane: posting gather, fold-table
+    gather, depth scatter-max, count scatter-add) priced at the
+    random-gather ceiling — vs achieved device time -> roofline_pct.
+    Pass 1 contributes NO random-access term since the payload pickup
+    moved inside the merge sort (sort-operand + packed-cummax propagation,
+    tools/bench_stages3_tpu.py c4d; the floor prices what the access
+    pattern irreducibly does, and pass 1 now touches HBM only through its
+    sorts). Both ceilings are MEASURED IN-SESSION at the bench's own lane
+    counts (_measure_ceilings): the floor drifts with relay/compiler
+    versions;
   * detail also carries the chip's live sort/gather ns-per-lane so rounds
     remain comparable even as the floor moves;
   * scaling: (a) a real-chip shard proxy — per-device map time on 1/D
@@ -273,21 +279,118 @@ def _tpu_scale_sweep(index, dev, cfg, fastq, full_map_s: float) -> dict | None:
                     best_t = min(best_t, time.time() - t0)
             return best_t / (R * D)
 
+        def per_row_routed_map_s(D: int, R: int) -> float:
+            """ROUTED-layout per-device work measured on one chip: each
+            scan row plays one device of a Dx1 routed mesh — its (W/D)-
+            k-mer slice pays the local dest-grouping sort, the merge probe
+            runs against ONE U/D-row key chunk (rows cycle over the D
+            chunks, so aggregate probe work matches the real mesh), the
+            return-trip unsort restores lane order, and pass 2 expands the
+            slice's saved artifacts at a 1/D lane budget via the REAL
+            product executable (pileup_from_saved_jit — identical to what
+            make_routed_pileup_scan runs per device). all_to_all transit
+            (~8 B/query over ICI) is not measurable single-chip and is
+            excluded (analytically sub-ms per step; docs/design.md)."""
+            import jax
+
+            from bronko_tpu.ops.map import (
+                _bucket_q, _hist_hits, _merge_probe, classify_tallies,
+                pileup_from_saved_jit,
+            )
+            from bronko_tpu.parallel.pipeline import (
+                _route_group, _unroute, route_split, split_index,
+            )
+
+            s1 = split_index(index, 1)
+            keys_r, hist_r, starts_r, bounds = route_split(s1, D)
+            bd = jnp.asarray(bounds[0])
+            Bl = W // D
+            J = len(mcfg.positions)
+            N2l = Bl * J
+            C = -(-(N2l * 27 // 20) // D)
+            C = max(128, min(N2l, (C + 127) & ~127))
+            G = dev.num_genomes
+            kjr = jnp.tile(jnp.reshape(kj1, (D, Bl)), (R, 1))
+            cjr = jnp.tile(jnp.reshape(cj1, (D, Bl)), (R, 1))
+            krr = jnp.tile(jnp.asarray(keys_r[:, 0]), (R, 1))
+            hrr = jnp.tile(jnp.asarray(hist_r[:, 0]), (R, 1))
+            srr = jnp.tile(jnp.asarray(starts_r[:, 0]), (R, 1))
+
+            @jax.jit
+            def tally_rows(kjr, cjr, krr, hrr, srr):
+                def body(tl, row):
+                    km, ct, kch, hch, sch = row
+                    q, _, _ = _bucket_q(km, cfg=mcfg)
+                    q_s, ord_s, slot, _ov = _route_group(
+                        q.reshape(N2l), jnp.repeat(ct > 0, J), bd, D, C)
+                    buf = jnp.zeros(D * C, jnp.uint64).at[slot].set(
+                        q_s, mode="drop", indices_are_sorted=True)
+                    got = _merge_probe(buf, kch, (hch, sch))
+                    vals = _unroute(list(got), slot, ord_s, Bl, J)
+                    h = jnp.where((ct > 0)[:, None], vals[0], 0)
+                    hits = _hist_hits(h, G)
+                    return tl + classify_tallies(hits, ct > 0, J), \
+                        (vals[1], h)
+
+                tl0 = jnp.zeros((G, 3), jnp.int32)
+                tl, (st_all, h_all) = jax.lax.scan(
+                    body, tl0, (kjr, cjr, krr, hrr, srr))
+                return tl, st_all, h_all
+
+            from dataclasses import replace
+
+            best_t = float("inf")
+            for rep in range(3):
+                t0 = time.time()
+                tj, st_all, h_all = tally_rows(kjr, cjr, krr, hrr, srr)
+                tallies = np.asarray(tj).astype(np.int64)
+                best = pick_best_genome(tallies, dev)
+                gcfg = replace(
+                    mcfg, total_len=dev.g_total_len,
+                    max_bucket=dev.g_max_bucket,
+                    lane_budget=max(1024, (N2l * mcfg.lane_factor) // 2))
+                post = (dev.postings_local32
+                        if dev.postings_local32 is not None
+                        else dev.postings)
+                pl0 = jnp.zeros((4, gcfg.total_len + 1, 4), jnp.int32)
+                pileup, ov = pileup_from_saved_jit(
+                    kjr, cjr, st_all, h_all, post, pl0, jnp.int32(best),
+                    jnp.int32(int(dev.file_bases[best])), gcfg)
+                assert not int(ov), "routed proxy pass-2 budget overflow"
+                np.asarray(pileup[0, :8])
+                if rep:
+                    best_t = min(best_t, time.time() - t0)
+            return best_t / (R * D)
+
         per_row_s = {1: per_row_map_s(1, 4)}
+        routed_s = {}
         for D in (4, 16):
             per_row_s[D] = per_row_map_s(D, 4)
+            try:
+                routed_s[D] = per_row_routed_map_s(D, 4)
+            except Exception as e:  # noqa: BLE001
+                print(f"# routed proxy D={D} failed: {e!r}", file=sys.stderr)
         return {
             "kind": "real_chip_shard_proxy",
             "note": ("per-shard-row map time measured on the TPU (real "
                      "batch reshaped, sync-amortized); batch-granular DP "
                      "executes whole rows per device, so its per-device "
                      "compute equals the D=1 row exactly and efficiency "
-                     "is collective-bound (<2% analytic)"),
+                     "is collective-bound (<2% analytic); 'routed' rows "
+                     "measure the hash-range routed layout (key table "
+                     "partitioned over 'data', queries travel via "
+                     "all_to_all) that the --mesh engine uses for "
+                     "single-batch samples"),
             "per_row_map_s": {str(d): round(t, 4)
                               for d, t in per_row_s.items()},
             "intra_batch_efficiency": {
                 str(d): round(per_row_s[1] / (d * t), 3)
                 for d, t in per_row_s.items() if d > 1},
+            "per_row_routed_map_s": {str(d): round(t, 4)
+                                     for d, t in routed_s.items()},
+            "routed_intra_batch_efficiency": {
+                str(d): round(per_row_s[1] / (d * t), 3)
+                for d, t in routed_s.items()},
             "batch_granular_efficiency": "compute-identical per device; "
                                          "limited by <2% collectives + "
                                          "nb % D granularity",
@@ -377,7 +480,10 @@ def _pipeline_main():
     # on this chip, at these lane counts (TPU only; the CPU subprocesses
     # never report a roofline, so skip the extra compiles there)
     map_s = r["tally_s"] + r["pileup_s"]
-    random_accesses = r["probe_lanes"] + 4 * r["scatter_lanes"]
+    # pass 1's payload pickup rides the merge sort itself (no per-query
+    # random access anymore); pass 2 pays 4 random accesses per posting
+    # lane (posting gather, fold-table gather, depth max, count add)
+    random_accesses = 4 * r["scatter_lanes"]
     sort_lanes = r["sort_lanes"]
     if platform == "cpu":
         sort_ns, gather_ns, measured = SORT_NS_PER_LANE, GATHER_NS_PER_LANE, False

@@ -235,6 +235,33 @@ class ShardedMapper:
         self._tally_steps: dict = {}   # keyed by batchwise bool
         self._batchwise = False        # layout of the last place_batches
         self._pileup_steps: dict = {}  # keyed by (budget, total_len, batchwise)
+        # ROUTED intra-batch layout (single/few-batch samples): the key
+        # table itself range-partitions over 'data' and queries travel to
+        # their chunk via all_to_all, so the per-device probe sorts
+        # (U + B*J)/D lanes instead of U + B*J/D — the fixed-U term that
+        # decayed B-split efficiency to 0.37 @ D=16 (BENCH_r02) scales
+        # away. Built lazily on first non-batchwise sample.
+        self._routed: tuple | None = None
+        self._routed_steps: dict = {}  # keyed by (C, save)
+        self._routed_pileups: dict = {}  # keyed by (budget, total_len)
+        self._saved_probe = None       # (start_all, h_all) from last tally
+        self._lane_totals = None
+
+    def _routed_arrays(self):
+        if self._routed is None and self.n_data > 1 and \
+                self.tally_mode in ("hist", "words"):
+            from bronko_tpu.parallel.pipeline import route_split
+
+            P = self._P
+            keys_r, hist_r, starts_r, bounds = route_split(
+                self.sharded, self.n_data)
+            self._routed = (
+                self._globalize(keys_r, self.mesh, P("data", "genome", None)),
+                self._globalize(hist_r, self.mesh, P("data", "genome", None)),
+                self._globalize(starts_r, self.mesh, P("data", "genome", None)),
+                self._globalize(bounds, self.mesh, P("genome", None)),
+            )
+        return self._routed
 
     def _tally_step(self, batchwise: bool):
         from bronko_tpu.parallel.pipeline import make_sharded_tally_scan
@@ -265,6 +292,10 @@ class ShardedMapper:
     def run_tallies(self, kj, cj) -> np.ndarray:
         from dataclasses import replace
 
+        self._saved_probe = None
+        self._lane_totals = None
+        if not self._batchwise and self._routed_arrays() is not None:
+            return self._run_tallies_routed(kj, cj)
         while True:
             tl, ov = self._tally_step(self._batchwise)(
                 kj, cj, self.keys, self.offsets, self.postings, self.hist)
@@ -275,12 +306,47 @@ class ShardedMapper:
             self.mcfg = replace(self.mcfg, lane_factor=self.mcfg.lane_factor * 2)
             self._tally_steps.clear()
 
+    def _run_tallies_routed(self, kj, cj) -> np.ndarray:
+        from bronko_tpu.parallel.pipeline import make_routed_tally_scan
+
+        keys_r, hist_r, starts_r, bounds = self._routed
+        D = self.n_data
+        B = kj.shape[1]
+        J = len(self.mcfg.positions)
+        N2l = (B // D) * J
+        # per-(src, dst) routing budget: uniform hashes put ~N2l/D queries
+        # in each chunk; 1.35x slack + the overflow retry covers skew
+        C = -(-(N2l * 27 // 20) // D)
+        C = max(128, min(N2l, (C + 127) & ~127))
+        # probe artifacts are saved when a Dx1 mesh can feed them straight
+        # to the routed pass 2 (needs the fid-grouped posting layout that
+        # the histogram-prefix range derivation relies on; single-word
+        # histograms only — the multi-word lens/prefix split is pass-2
+        # machinery the routed pileup doesn't replicate)
+        save = self.n_genome == 1 and self.tally_mode == "hist"
+        while True:
+            step = self._routed_steps.get((C, save))
+            if step is None:
+                step = self._routed_steps[(C, save)] = make_routed_tally_scan(
+                    self.mesh, self.mcfg, self.tally_mode, C, save=save)
+            out = step(kj, cj, keys_r, hist_r, starts_r, bounds)
+            tl, lt, ov = out[:3]
+            if not int(np.asarray(ov)[0]):
+                if save:
+                    self._saved_probe = (out[3], out[4])
+                    self._lane_totals = np.asarray(lt)
+                return np.asarray(tl).astype(np.int64)
+            log.info("routed tally budget exceeded (C=%d); retrying", C)
+            C = min(N2l, C * 2)
+
     def run_pileup(self, kj, cj, dev: DeviceIndex, best: int, mcfg,
                    n_kmers: int | None = None):
         from dataclasses import replace
 
         from bronko_tpu.parallel.pipeline import make_sharded_pileup_scan
 
+        if self._saved_probe is not None and dev.fid_grouped:
+            return self._run_pileup_routed(kj, cj, dev, best, mcfg, n_kmers)
         dev.ensure_subindex()
         # whole-batch sharding over the flattened mesh when nb divides
         # (same fixed-sort-cost argument as place_batches; the run-owner
@@ -314,6 +380,50 @@ class ShardedMapper:
             if not int(np.asarray(ov)[0]):
                 return pileup
             log.info("sharded pileup lane budget exceeded (%d); retrying", budget)
+            budget *= 2
+
+    def _run_pileup_routed(self, kj, cj, dev: DeviceIndex, best: int, mcfg,
+                           n_kmers: int | None):
+        """Pass 2 from the routed pass 1's saved artifacts (Dx1): no
+        re-probe — each device expands its own B/D slice; per-device lane
+        budget comes from the tally's exact per-batch posting load for the
+        selected genome, split over 'data' with slack for shard skew."""
+        from dataclasses import replace
+
+        from bronko_tpu.parallel.pipeline import make_routed_pileup_scan
+
+        start_all, h_all = self._saved_probe
+        exact = (int(self._lane_totals[best])
+                 if self._lane_totals is not None else None)
+        budget = _pass2_budget(kj, mcfg, n_kmers, exact)
+        budget = max(1024, _lane_class(budget * 3 // (2 * self.n_data),
+                                       floor=1024))
+        P = self._P
+        postings = self._globalize(self.sharded.postings[0], self.mesh,
+                                   P(None))
+        best_j = self._globalize(np.asarray([best], np.int32), self.mesh,
+                                 P(None))
+        fbase = self._globalize(
+            np.asarray([int(dev.file_bases[best])], np.int32), self.mesh,
+            P(None))
+        while True:
+            gcfg = replace(
+                mcfg,
+                total_len=dev.g_total_len,
+                max_bucket=dev.g_max_bucket,
+                lane_budget=budget,
+            )
+            key = (budget, gcfg.total_len)
+            step = self._routed_pileups.get(key)
+            if step is None:
+                step = self._routed_pileups[key] = make_routed_pileup_scan(
+                    self.mesh, gcfg)
+            pileup, ov = step(kj, cj, start_all, h_all, postings,
+                              best_j, fbase)
+            if not int(np.asarray(ov)[0]):
+                return pileup
+            log.info("routed pileup lane budget exceeded (%d); retrying",
+                     budget)
             budget *= 2
 
 

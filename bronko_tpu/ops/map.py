@@ -301,6 +301,23 @@ def map_batch_jit(kmers, counts, keys, offsets, postings, pileup, tallies, cfg: 
     return map_batch(kmers, counts, keys, offsets, postings, pileup, tallies, cfg=cfg)
 
 
+_SORTOP_COLS = 4  # max u32 payload columns carried as merge-sort operands
+
+
+def _scan1(body, init, xs):
+    """lax.scan that skips the scan machinery when the batch axis is 1
+    (the common case: the bench's 155k-kmer sample is one batch). The
+    scan's ys stacking pays a real copy per step — measured 25 ms per
+    dispatch at bench shapes for a (1, B, J) int32 pair
+    (tools/bench_stages3_tpu.py c7 96 ms vs c8 121 ms) — and unroll=True
+    does not remove it; calling the body directly does."""
+    n = jax.tree_util.tree_leaves(xs)[0].shape[0]
+    if n == 1:
+        carry, y = body(init, jax.tree.map(lambda a: a[0], xs))
+        return carry, jax.tree.map(lambda a: a[None], y)
+    return jax.lax.scan(body, init, xs)
+
+
 def _merge_probe(q, keys, payloads):
     """Sorted-merge probe: one sort of concat(keys, queries) finds, for
     every query, the last key <= it and whether that key equals it —
@@ -315,48 +332,108 @@ def _merge_probe(q, keys, payloads):
     tools/bench_stages2_tpu.py).
 
     `payloads` is a tuple of per-key-row arrays ((U,) or (U, W) — e.g.
-    the bucket genome histogram, the CSR row starts/ends). Each value is
-    picked up INSIDE the merge via a monotone int32-class row gather,
-    zeroed on miss, and carried through the unsort — so misses need no
-    explicit hit flag (a real bucket's histogram word is >= 1 and its CSR
-    extent has end > start; zeros encode 'no postings' in both).
+    the bucket genome histogram, the CSR row starts/ends), zeroed on miss
+    — so misses need no explicit hit flag (a real bucket's histogram word
+    is >= 1 and its CSR extent has end > start; zeros encode 'no
+    postings' in both). Pickup scheme, chosen by payload width:
+
+      * narrow (<= _SORTOP_COLS u32 columns; 64-bit columns split lo/hi):
+        the columns enter the MERGE SORT as extra operands (key rows carry
+        the value, query rows 0) and propagate from each key row to its
+        equal-query run via a packed (rank+1)<<32 | value int64 cummax —
+        rank is non-decreasing along the sorted stream, so the running max
+        always carries the LAST key row's value and query rows (packed 0)
+        never dominate. Measured 58 ms vs 91 ms for the post-sort gather
+        formulation at bench shapes (tools/bench_stages3_tpu.py c4d vs
+        c4; the u32-SPLIT-KEY sort variant measured worse, 196 ms, and
+        was dropped).
+      * wide (multi-word histograms): post-sort row gathers at rank —
+        each extra sort operand costs more than one gather saves there.
 
     Returns a tuple of per-query payload value arrays, each (B, J) (or
     (B, J, W) for 2-D payloads), zeroed where the query missed."""
     U = keys.shape[0]
     Bq = q.size
     xs = jnp.concatenate([keys, q.reshape(Bq)])
-    # ONE packed secondary operand: keys get 0 (so they precede equal
-    # queries), queries get 1 + their ordinal (so the later unsort can
-    # recover the original position and equal queries order
-    # deterministically)
+    # ONE packed secondary operand: keys get row - U (negative, so they
+    # precede equal queries AND equal-valued key rows keep their original
+    # order — the narrow path's payload columns travel inside the sort, so
+    # without this the sentinel-duplicate run could place the
+    # collision-carrying last row anywhere); queries get 1 + their ordinal
+    # (so the later unsort can recover the original position and equal
+    # queries order deterministically)
     ot = jnp.concatenate(
-        [jnp.zeros(U, jnp.int32), 1 + jnp.arange(Bq, dtype=jnp.int32)])
-    xs_s, ot_s = jax.lax.sort((xs, ot), num_keys=2, is_stable=False)
-    is_key = ot_s == 0
-    rank = jnp.cumsum(is_key.astype(jnp.int32)) - 1      # row of last key <= x
-    rank_c = jnp.maximum(rank, 0)
-    # duplicate keys resolve to the LAST equal row (rank counts all of
-    # them), which the sentinel-collision fix relies on; rank >= 0 guards
-    # queries below every key (and queries equal to a key value of 0)
-    prop = jax.lax.cummax(jnp.where(is_key, xs_s, jnp.zeros((), xs.dtype)))
-    eq = (prop == xs_s) & (rank >= 0)
-    cols = []
+        [jnp.arange(U, dtype=jnp.int32) - jnp.int32(U),
+         1 + jnp.arange(Bq, dtype=jnp.int32)])
+
+    # flatten payloads into u32 key-row columns (64-bit -> lo, hi)
+    kcols = []
     for p in payloads:
         p2 = p if p.ndim == 2 else p[:, None]
-        cols.extend(jnp.where(eq, p2[rank_c, w], jnp.zeros((), p2.dtype))
-                    for w in range(p2.shape[1]))         # monotone gathers
+        for w in range(p2.shape[1]):
+            c = p2[:, w]
+            if c.dtype.itemsize == 8:
+                cu = c.astype(jnp.uint64)
+                kcols.append(cu.astype(jnp.uint32))
+                kcols.append((cu >> jnp.uint64(32)).astype(jnp.uint32))
+            else:
+                kcols.append(c.astype(jnp.uint32))
+
+    if len(kcols) <= _SORTOP_COLS:
+        qpad = jnp.zeros(Bq, jnp.uint32)
+        ops = jax.lax.sort(
+            (xs, ot) + tuple(jnp.concatenate([c, qpad]) for c in kcols),
+            num_keys=2, is_stable=False)
+        xs_s, ot_s = ops[0], ops[1]
+        is_key = ot_s < 0
+        rank = jnp.cumsum(is_key.astype(jnp.int32)) - 1
+        prop = jax.lax.cummax(jnp.where(is_key, xs_s,
+                                        jnp.zeros((), xs.dtype)))
+        eq = (prop == xs_s) & (rank >= 0)
+        r1 = (rank + jnp.int32(1)).astype(jnp.int64) << 32
+        cols = []
+        for c_s in ops[2:]:
+            packed = jnp.where(is_key, r1 | c_s.astype(jnp.int64),
+                               jnp.int64(0))
+            v = jax.lax.cummax(packed).astype(jnp.uint32)
+            cols.append(jnp.where(eq, v, jnp.uint32(0)))
+    else:
+        xs_s, ot_s = jax.lax.sort((xs, ot), num_keys=2, is_stable=False)
+        is_key = ot_s < 0
+        rank = jnp.cumsum(is_key.astype(jnp.int32)) - 1  # row of last key <= x
+        rank_c = jnp.maximum(rank, 0)
+        # duplicate keys resolve to the LAST equal row (rank counts all of
+        # them), which the sentinel-collision fix relies on; rank >= 0
+        # guards queries below every key (and queries equal to key value 0)
+        prop = jax.lax.cummax(jnp.where(is_key, xs_s,
+                                        jnp.zeros((), xs.dtype)))
+        eq = (prop == xs_s) & (rank >= 0)
+        cols = [jnp.where(eq, c[rank_c], jnp.uint32(0)) for c in kcols]
+
     # unsort the queries: keys push to the end with an out-of-range ordinal
     ordk = jnp.where(is_key, jnp.int32(2**31 - 1), ot_s)
     out = jax.lax.sort((ordk, *cols), num_keys=1, is_stable=False)
+    # reassemble payload values (u32 columns -> original dtypes/shapes)
     vals = []
     ci = 1
+
+    def take(i):
+        return out[i][:Bq].reshape(q.shape)
+
     for p in payloads:
         w = 1 if p.ndim == 1 else p.shape[1]
-        h_cols = [out[ci + j][:Bq].reshape(q.shape) for j in range(w)]
-        vals.append(h_cols[0] if p.ndim == 1
-                    else jnp.stack(h_cols, axis=-1))
-        ci += w
+        wide = p.dtype.itemsize == 8
+        h_cols = []
+        for _ in range(w):
+            if wide:
+                lo = take(ci).astype(jnp.uint64)
+                hi = take(ci + 1).astype(jnp.uint64)
+                h_cols.append((lo | (hi << jnp.uint64(32))).astype(p.dtype))
+                ci += 2
+            else:
+                h_cols.append(take(ci).astype(p.dtype))
+                ci += 1
+        vals.append(h_cols[0] if p.ndim == 1 else jnp.stack(h_cols, axis=-1))
     return tuple(vals)
 
 
@@ -495,7 +572,7 @@ def tally_all_jit(kmers, counts, keys, offsets, postings, hist, tallies,
         tl = tl + classify_tallies(hits, ct > 0, nb_pos)
         return (tl, ov | ov2), None
 
-    (tallies, overflow), _ = jax.lax.scan(
+    (tallies, overflow), _ = _scan1(
         body, (tallies, jnp.int32(0)), (kmers, counts))
     return tallies, overflow
 
@@ -529,7 +606,7 @@ def tally_save_jit(kmers, counts, keys, offsets, hist, tallies, cfg: MapConfig):
         lt = jnp.maximum(lt, hits.sum(axis=0, dtype=jnp.int64))
         return (tl, lt), (start, h)  # h keeps the hist dtype (int64, G > 4)
 
-    (tallies, lane_totals), (start_all, h_all) = jax.lax.scan(
+    (tallies, lane_totals), (start_all, h_all) = _scan1(
         body, (tallies, jnp.zeros(G, jnp.int64)), (kmers, counts))
     return tallies, lane_totals, start_all, h_all
 
@@ -559,7 +636,7 @@ def tally_save_words_jit(kmers, counts, keys, offsets, hist_words, tallies,
         lt = jnp.maximum(lt, hits.sum(axis=0, dtype=jnp.int64))
         return (tl, lt), (start, hw)
 
-    (tallies, lane_totals), (start_all, hw_all) = jax.lax.scan(
+    (tallies, lane_totals), (start_all, hw_all) = _scan1(
         body, (tallies, jnp.zeros(G, jnp.int64)), (kmers, counts))
     return tallies, lane_totals, start_all, hw_all
 
@@ -611,7 +688,7 @@ def pileup_from_saved_words_jit(kmers, counts, start_all, hw_all,
                                   J=J, k=k, pos_base=file_base)
         return (pl, ov | (total > LB).astype(jnp.int32)), None
 
-    (pileup, overflow), _ = jax.lax.scan(
+    (pileup, overflow), _ = _scan1(
         body, (pileup, jnp.int32(0)), (kmers, counts, start_all, hw_all))
     return pileup, overflow
 
@@ -654,7 +731,7 @@ def pileup_from_saved_jit(kmers, counts, start_all, h_all, postings,
                                   J=J, k=k, pos_base=file_base)
         return (pl, ov | (total > LB).astype(jnp.int32)), None
 
-    (pileup, overflow), _ = jax.lax.scan(
+    (pileup, overflow), _ = _scan1(
         body, (pileup, jnp.int32(0)), (kmers, counts, start_all, h_all))
     return pileup, overflow
 
@@ -673,5 +750,5 @@ def pileup_all_jit(kmers, counts, keys_g, offsets_g, postings_g, pileup, cfg: Ma
                                       pl, cfg=cfg)
         return pl, ov
 
-    pileup, ovs = jax.lax.scan(body, pileup, (kmers, counts))
+    pileup, ovs = _scan1(body, pileup, (kmers, counts))
     return pileup, jnp.max(ovs)

@@ -35,7 +35,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from bronko_tpu.index.layout import (KEY_SENTINEL, SeqSlice,
                                       fix_sentinel_collision)
 from bronko_tpu.index.model import BronkoIndex
-from bronko_tpu.ops.map import MapConfig, classify_tallies, probe_scatter
+from bronko_tpu.ops.map import (MapConfig, _scan1, classify_tallies,
+                                probe_scatter)
 
 @dataclass
 class ShardedIndex:
@@ -333,7 +334,7 @@ def make_sharded_tally_scan(mesh: Mesh, cfg: MapConfig, mode: str = "flat",
             return (tl, ov | ov2), None
 
         init = (jnp.zeros((cfg.num_genomes, 3), jnp.int32), jnp.int32(0))
-        (tl, ov), _ = jax.lax.scan(body, init, (kj, cj))
+        (tl, ov), _ = _scan1(body, init, (kj, cj))
         tl = jax.lax.psum(tl, "data")
         ov = jax.lax.psum(jax.lax.psum(ov, "genome"), "data")
         return tl, ov[None]
@@ -350,6 +351,292 @@ def make_sharded_tally_scan(mesh: Mesh, cfg: MapConfig, mode: str = "flat",
             hist_spec,
         ),
         out_specs=(P(None, None), P(None)),
+        check_vma=False,
+    ))
+
+
+def route_split(sharded: ShardedIndex, D: int):
+    """Equal-count key-range chunking of a ShardedIndex for the ROUTED
+    probe: each genome shard's sorted key row splits into D contiguous
+    chunks (padded to a common chunk width with the key sentinel), so a
+    ('data', 'genome') mesh can hold keys[d, s] on device (d, s) and route
+    queries to the chunk that can contain them.
+
+    Returns (keys_r (D, S, Uc) uint64, hist_r (D, S, Uc[, W]), starts_r
+    (D, S, Uc) int32 CSR row starts, bounds (S, D) uint64 chunk-start key
+    values). Requires the per-shard histogram (hist or hist_words).
+
+    Sentinel-collision rule carried over from split_index: queries equal
+    to the sentinel route to the LAST chunk (every post-data chunk bound
+    is the sentinel, and dest picks the last one), and the merge probe
+    resolves duplicate keys to the last equal row — so when the original
+    row U-1 holds the collision payload it is copied to the new last row
+    U2-1 introduced by the chunk-width padding."""
+    hist = sharded.hist if sharded.hist is not None else sharded.hist_words
+    if hist is None:
+        raise ValueError("route_split needs the per-shard histogram")
+    S, U = sharded.keys.shape
+    Uc = max(1, -(-U // D))
+    U2 = Uc * D
+    keys_r = np.full((D, S, Uc), KEY_SENTINEL, np.uint64)
+    hist_r = np.zeros((D, S, Uc) + hist.shape[2:], hist.dtype)
+    starts_r = np.zeros((D, S, Uc), np.int32)
+    bounds = np.zeros((S, D), np.uint64)
+    for s in range(S):
+        krow = np.full(U2, KEY_SENTINEL, np.uint64)
+        krow[:U] = sharded.keys[s]
+        hrow = np.zeros((U2,) + hist.shape[2:], hist.dtype)
+        hrow[:U] = hist[s]
+        srow = np.zeros(U2, np.int32)
+        srow[:U] = sharded.offsets[s, :U]
+        if U2 > U and krow[U - 1] == KEY_SENTINEL:
+            hrow[U2 - 1] = hrow[U - 1]
+            srow[U2 - 1] = srow[U - 1]
+        keys_r[:, s] = krow.reshape(D, Uc)
+        hist_r[:, s] = hrow.reshape((D, Uc) + hist.shape[2:])
+        starts_r[:, s] = srow.reshape(D, Uc)
+        bounds[s] = krow[::Uc]
+    return keys_r, hist_r, starts_r, bounds
+
+
+def _route_group(qf, valid, bd, D: int, C: int):
+    """Group one device's flattened queries by destination chunk (shared by
+    the shard_map body and the bench's single-chip routed proxy).
+
+    Padding k-mers (valid=False) all share the SAME bucket values
+    (canonical(0)), so a padded batch tail would dump its whole lane load
+    on a handful of chunks and trip the routing budget — they go to
+    virtual chunk D instead (sorted past every real group, written
+    nowhere, masked on return by the caller's ct>0 mask).
+
+    Returns (q_s, ord_s, slot, overflow): q_s dest-grouped queries, ord_s
+    the original lane of each sorted position, slot the dest*C+pos routing
+    buffer index (non-decreasing; positions past the C budget clamp into
+    the last slot and set overflow — the caller retries with C doubled)."""
+    N2l = qf.shape[0]
+    dest = jnp.sum((qf[:, None] >= bd[None, 1:]).astype(jnp.int32), axis=1)
+    dest = jnp.where(valid, dest, D)
+    # ONE combined sort key: dest-major, original lane minor — groups by
+    # destination AND lets the return trip recover lane order
+    ckey = dest * N2l + jnp.arange(N2l, dtype=jnp.int32)
+    ckey_s, q_s = jax.lax.sort((ckey, qf), num_keys=1, is_stable=False)
+    dest_s = ckey_s // N2l
+    ord_s = ckey_s - dest_s * N2l
+    starts = jnp.searchsorted(
+        dest_s, jnp.arange(D + 1, dtype=jnp.int32)).astype(jnp.int32)
+    cnts = jnp.diff(starts)
+    pos = jnp.arange(N2l, dtype=jnp.int32) - starts[dest_s]
+    ov_r = jnp.any(cnts > C).astype(jnp.int32)
+    slot = dest_s * C + jnp.minimum(pos, C - 1)       # non-decreasing
+    return q_s, ord_s, slot, ov_r
+
+
+def _unroute(backs, slot, ord_s, Bl: int, J: int):
+    """Return trip of the routed probe: monotone gather per payload from
+    the routed-back (D*C,) buffers at `slot`, then ONE sort restores the
+    original lane order for every payload column at once.
+    Returns a list of (Bl, J[, W]) arrays."""
+    cols = []
+    widths = []
+    for v in backs:
+        v_s = v[slot]
+        if v_s.ndim == 1:
+            cols.append(v_s)
+            widths.append(None)
+        else:
+            cols.extend(v_s[:, w] for w in range(v_s.shape[1]))
+            widths.append(v_s.shape[1])
+    out = jax.lax.sort((ord_s, *cols), num_keys=1, is_stable=False)
+    vals = []
+    ci = 1
+    for w in widths:
+        if w is None:
+            vals.append(out[ci].reshape(Bl, J))
+            ci += 1
+        else:
+            vals.append(jnp.stack(out[ci:ci + w], -1).reshape(Bl, J, w))
+            ci += w
+    return vals
+
+
+def make_routed_tally_scan(mesh: Mesh, cfg: MapConfig, mode: str, C: int,
+                           save: bool = False):
+    """Pass 1 with hash-range ROUTED queries over 'data' — the intra-batch
+    (single-batch-sample) layout. The unrouted B-split makes every device
+    re-sort the full U-key table against its B/D query slice, so per-device
+    sort lanes are U + B*J/D and the fixed U term decays efficiency
+    (measured 0.37 @ D=16, BENCH_r02). Here the key table itself is
+    equal-count range-partitioned over 'data' (route_split) and queries
+    travel to their chunk:
+
+      1. each device buckets its B/D k-mers, derives every query's
+         destination chunk from the (D,) chunk-start bounds (D-1 u64
+         compares per lane), and groups queries by destination with ONE
+         local 2-op sort (the group layout makes the routing-buffer
+         scatter and the return gather MONOTONE);
+      2. a (D, C) routing buffer exchanges over ICI (all_to_all,
+         8 B/query); C is the per-(src, dst) lane budget — any per-dest
+         count > C sets the overflow flag and the caller retries with C
+         doubled (clamped writes keep shapes static; nothing is silently
+         dropped because the retry rebuilds the step);
+      3. every device merge-probes the received queries against its OWN
+         Uc = U/D-row chunk and picks up the histogram (and CSR row start,
+         save=True) payloads in-merge — per-device sort lanes are now
+         (U + slack*B*J)/D, all terms 1/D;
+      4. the inverse all_to_all routes payloads back; sources restore
+         k-mer order with one 2-op sort, psum packed words over 'genome',
+         and classify.
+
+    mode: 'hist' (packed word, G<=8) or 'words' (multi-word, G>8) — the
+    flat tally keeps the unrouted path. Tallies are order-independent
+    integer sums, so the result is bit-identical to the single-device
+    tallies (tests/test_parallel.py).
+
+    save=True additionally returns the per-query probe artifacts in source
+    layout — start_all/h_all (nb, B, J[, W]) sharded over 'data' on the B
+    axis — so a Dx1 mesh can run pass 2 from saved artifacts without any
+    re-probe (the postings array is replicated when S == 1).
+
+    Returns step(kj (nb,B), cj, keys_r, hist_r, starts_r, bounds) ->
+    (tallies (G,3) replicated, lane_totals (G,) int64, overflow (1,)
+    [, start_all, h_all])."""
+    from bronko_tpu.ops.map import (
+        _bucket_q, _hist_hits, _hist_hits_words, _merge_probe,
+    )
+
+    D = mesh.shape["data"]
+    nb_pos = len(cfg.positions)
+    G = cfg.num_genomes
+    J = nb_pos
+
+    def local_fn(kj, cj, keys_r, hist_r, starts_r, bounds):
+        kr = keys_r[0, 0]                        # (Uc,)
+        hr = hist_r[0, 0]                        # (Uc,) or (Uc, W)
+        sr = starts_r[0, 0]                      # (Uc,)
+        bd = bounds[0]                           # (D,)
+
+        def body(carry, batch):
+            tl, lt, ov = carry
+            km, ct = batch                       # (Bl,)
+            Bl = km.shape[0]
+            q, _, _ = _bucket_q(km, cfg=cfg)
+            qf = q.reshape(Bl * J)
+            valid = jnp.repeat(ct > 0, J)
+            q_s, ord_s, slot, ov_r = _route_group(qf, valid, bd, D, C)
+            buf = jnp.zeros(D * C, jnp.uint64).at[slot].set(
+                q_s, mode="drop", indices_are_sorted=True)
+            bufx = jax.lax.all_to_all(buf.reshape(D, C), "data", 0, 0,
+                                      tiled=True)
+            payloads = (hr, sr) if save else (hr,)
+            got = _merge_probe(bufx.reshape(D * C), kr, payloads)
+            backs = []
+            for v in got:
+                vx = jax.lax.all_to_all(
+                    v.reshape((D, C) + v.shape[1:]), "data", 0, 0,
+                    tiled=True)
+                backs.append(vx.reshape((D * C,) + v.shape[1:]))
+            vals = _unroute(backs, slot, ord_s, Bl, J)
+            h = vals[0]
+            mask = (ct > 0)[:, None] if h.ndim == 2 else (ct > 0)[:, None, None]
+            h = jnp.where(mask, h, jnp.zeros((), h.dtype))
+            hsum = jax.lax.psum(h, "genome")
+            hits = (_hist_hits(hsum, G) if mode == "hist"
+                    else _hist_hits_words(hsum, G))
+            tl = tl + classify_tallies(hits, ct > 0, nb_pos)
+            lt = jnp.maximum(lt, jax.lax.psum(
+                hits.sum(axis=0, dtype=jnp.int64), "data"))
+            saved = (vals[1], h) if save else ()
+            return (tl, lt, ov | ov_r), saved
+
+        init = (jnp.zeros((G, 3), jnp.int32), jnp.zeros(G, jnp.int64),
+                jnp.int32(0))
+        (tl, lt, ov), saved = _scan1(body, init, (kj, cj))
+        tl = jax.lax.psum(tl, "data")
+        ov = jax.lax.psum(jax.lax.psum(ov, "genome"), "data")
+        if save:
+            return tl, lt, ov[None], saved[0], saved[1]
+        return tl, lt, ov[None]
+
+    out_specs = (P(None, None), P(None), P(None))
+    if save:
+        out_specs = out_specs + (P(None, "data", None),
+                                 P(None, "data", None))
+    return jax.jit(jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(None, "data"), P(None, "data"),
+            P("data", "genome", None), P("data", "genome", None),
+            P("data", "genome", None), P("genome", None),
+        ),
+        out_specs=out_specs,
+        check_vma=False,
+    ))
+
+
+def make_routed_pileup_scan(mesh: Mesh, cfg: MapConfig):
+    """Pass 2 from the ROUTED pass 1's saved artifacts (Dx1 meshes): each
+    device expands its own B/D slice's saved (start, hist-word) into
+    posting lanes, scatters a local partial pileup, and the partials merge
+    collectively (depth pmax, count psum — call.rs:1420-1431 semantics).
+    No probe, no re-sort of anything index-sized: per-device work is
+    (B*J + LB)/D expansion lanes, all 1/D.
+
+    Requires S == 1 (the postings array replicated on every device) and
+    the saved `start` values are global CSR row starts, which route_split
+    preserves per chunk. `best` and `file_base` are traced scalars.
+
+    Returns step(kj, cj, start_all (nb,B,J), h_all, postings, best,
+    file_base) -> (pileup (4,T+1,4) replicated, overflow (1,))."""
+    from bronko_tpu.ops.map import _expand_lanes, _fold_pc, _scatter_lanes
+
+    T = cfg.total_len
+    J = len(cfg.positions)
+    k = cfg.k
+
+    def local_fn(kj, cj, start_all, h_all, postings, best, file_base):
+        best = best[0]
+        file_base = file_base[0]
+
+        def body(carry, batch):
+            pl, ov = carry
+            km, ct, start, h = batch
+            Bl = km.shape[0]
+            N2l = Bl * J
+            LB = cfg.lane_budget if cfg.lane_budget else Bl * J * cfg.lane_factor
+            pc = _fold_pc(km, ct, cfg=cfg)
+            one = h.dtype.type(1)
+            shift = (best * 8).astype(h.dtype)
+            lens = ((h >> shift) & h.dtype.type(0xFF)).astype(jnp.int32)
+            below = h & ((one << shift) - one)
+            prefix = jnp.zeros_like(lens)
+            for byte in range(h.dtype.itemsize):
+                prefix = prefix + (((below >> h.dtype.type(8 * byte))
+                                    & h.dtype.type(0xFF)).astype(jnp.int32))
+            startf = (start + prefix).reshape(N2l).astype(jnp.int32)
+            lensf = lens.reshape(N2l)
+            own_c, pidx_s, lane_valid, total = _expand_lanes(startf, lensf, LB)
+            pl, _, _ = _scatter_lanes(pl, pc, postings[pidx_s], own_c,
+                                      lane_valid, J=J, k=k,
+                                      pos_base=file_base)
+            return (pl, ov | (total > LB).astype(jnp.int32)), None
+
+        init = (jnp.zeros((4, T + 1, 4), jnp.int32), jnp.int32(0))
+        (pl, ov), _ = _scan1(body, init, (kj, cj, start_all, h_all))
+        depth = jax.lax.pmax(jax.lax.pmax(pl[:2], "data"), "genome")
+        cnt = jax.lax.psum(jax.lax.psum(pl[2:], "data"), "genome")
+        ov = jax.lax.psum(jax.lax.psum(ov, "genome"), "data")
+        return jnp.concatenate([depth, cnt]), ov[None]
+
+    return jax.jit(jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(None, "data"), P(None, "data"),
+            P(None, "data", None), P(None, "data", None),
+            P(None), P(None), P(None),
+        ),
+        out_specs=(P(None, None, None), P(None)),
         check_vma=False,
     ))
 
@@ -383,7 +670,7 @@ def make_sharded_pileup_scan(mesh: Mesh, cfg: MapConfig,
             return (pl, ov | ov2), None
 
         init = (jnp.zeros((4, T + 1, 4), jnp.int32), jnp.int32(0))
-        (pl, ov), _ = jax.lax.scan(body, init, (kj, cj))
+        (pl, ov), _ = _scan1(body, init, (kj, cj))
         depth = jax.lax.pmax(jax.lax.pmax(pl[:2], "data"), "genome")
         cnt = jax.lax.psum(jax.lax.psum(pl[2:], "data"), "genome")
         ov = jax.lax.psum(jax.lax.psum(ov, "genome"), "data")

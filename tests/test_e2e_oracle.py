@@ -386,3 +386,144 @@ def test_engine_equals_oracle_multicontig(tmp_path):
     assert got_name == want_name
     assert got_lines == want_lines
     assert len(got_lines) >= 2
+
+
+def test_engine_equals_oracle_via_bincode_roundtrip(tmp_path):
+    """Interop composition (VERDICT r2 item 8): the engine `call` fed by a
+    reference-format bincode .bkdb that OUR writer produced and OUR reader
+    loaded back (writer -> reader -> engine) must byte-equal the composed
+    oracle — the db that round-trips through the reference's on-disk
+    format carries exactly the same index semantics as the in-memory
+    build (build.rs:122-143 + call.rs:179-200)."""
+    from bronko_tpu.index.bincode_compat import (
+        load_reference_bkdb, save_reference_bkdb,
+    )
+
+    rng = np.random.default_rng(77)
+    k = 21
+    files = []
+    fasta_paths = []
+    for g in range(3):
+        seq = make_genome(rng, 480 + 35 * g)
+        p = str(tmp_path / f"bg{g}.fasta")
+        write_fasta(p, f"seq{g}", seq)
+        fasta_paths.append(p)
+        files.append((f"bg{g}", [(f"seq{g}", seq)]))
+    genome = files[1][1][0][1]
+    L = len(genome)
+    majors = {int(q): 0.9 for q in rng.integers(50, L - 50, 2)}
+    minors = {int(rng.integers(50, L - 50)): 0.2}
+    reads, _ = make_sample(genome, rng, read_len=100, depth=300,
+                           major_positions=majors, minor_positions=minors,
+                           error_rate=0.003)
+    fq = str(tmp_path / "bk.fastq.gz")
+    write_fastq(fq, reads)
+
+    kmer_counts = _count_oracle(reads, k)
+    want_lines, want_name = _oracle_vcf_lines(files, kmer_counts, k)
+
+    # build -> reference-format write -> read back -> call
+    index0 = build_index(k, fasta_paths)
+    bkdb = str(tmp_path / "roundtrip.bkdb")
+    save_reference_bkdb(index0, bkdb)
+    index = load_reference_bkdb(bkdb)
+
+    out = str(tmp_path / "out_bincode")
+    cfg = CallConfig(db=bkdb, reads=[fq], output=out,
+                     batch_size=4096, chunk_reads=8192)
+    run_call(cfg, index, build_device_index(index))
+    vcf = [f for f in os.listdir(out) if f.endswith(".vcf")]
+    assert len(vcf) == 1
+    with open(os.path.join(out, vcf[0])) as fh:
+        got_lines = [ln.rstrip("\n") for ln in fh if not ln.startswith("#")]
+    with open(os.path.join(out, "bronko_overview.tsv")) as fh:
+        fh.readline()
+        got_name = fh.readline().split("\t")[1]
+
+    assert got_name == want_name
+    assert got_lines == want_lines
+    assert len(got_lines) >= 1
+
+
+def test_engine_oracle_paired_mesh_pileup_combo(tmp_path):
+    """Combined-flag composition (VERDICT r2 item 8): paired-end + --mesh
+    2x2 + --pileup in ONE run. The VCF must byte-equal the composed
+    paired oracle AND the single-device engine run (mesh collectives are
+    order-independent integer merges), and the pileup TSV must match the
+    single-device run byte-for-byte."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    rng = np.random.default_rng(55)
+    k = 21
+    files = []
+    fasta_paths = []
+    for g in range(3):
+        seq = make_genome(rng, 520 + 45 * g)
+        p = str(tmp_path / f"mg{g}.fasta")
+        write_fasta(p, f"seq{g}", seq)
+        fasta_paths.append(p)
+        files.append((f"mg{g}", [(f"seq{g}", seq)]))
+    genome = files[0][1][0][1]
+    L = len(genome)
+    majors = {int(q): 0.9 for q in rng.integers(50, L - 50, 3)}
+    minors = {int(rng.integers(50, L - 50)): 0.24}
+    r1, _ = make_sample(genome, rng, read_len=100, depth=200,
+                        major_positions=majors, minor_positions=minors,
+                        error_rate=0.003)
+    r2, _ = make_sample(genome, rng, read_len=100, depth=200,
+                        major_positions=majors, minor_positions=minors,
+                        error_rate=0.003)
+    fq1 = str(tmp_path / "m_R1.fastq.gz")
+    fq2 = str(tmp_path / "m_R2.fastq.gz")
+    write_fastq(fq1, r1)
+    write_fastq(fq2, r2)
+
+    kmer_counts = _count_oracle(r1, k) + _count_oracle(r2, k)
+    want_lines, want_name = _oracle_vcf_lines(files, kmer_counts, k)
+
+    def run(tag, **kw):
+        out = str(tmp_path / f"out_{tag}")
+        cfg = CallConfig(genomes=fasta_paths, first_pairs=[fq1],
+                         second_pairs=[fq2], output=out, output_pileup=True,
+                         batch_size=4096, chunk_reads=8192, **kw)
+        index = build_index(cfg.kmer, fasta_paths)
+        run_call(cfg, index, build_device_index(index))
+        vcf = [f for f in os.listdir(out) if f.endswith(".vcf")]
+        assert len(vcf) == 1
+        with open(os.path.join(out, vcf[0])) as fh:
+            lines = [ln.rstrip("\n") for ln in fh if not ln.startswith("#")]
+        pil = [f for f in os.listdir(out)
+               if f.endswith(".tsv") and f != "bronko_overview.tsv"]
+        assert len(pil) == 1
+        with open(os.path.join(out, pil[0]), "rb") as fh:
+            pileup_bytes = fh.read()
+        with open(os.path.join(out, "bronko_overview.tsv")) as fh:
+            fh.readline()
+            name = fh.readline().split("\t")[1]
+        return lines, name, pileup_bytes
+
+    got_m, name_m, pil_m = run("combo_mesh", mesh="2x2")
+    got_s, name_s, pil_s = run("combo_single")
+
+    assert name_m == want_name == name_s
+    assert got_m == want_lines
+    assert got_s == want_lines
+    assert pil_m == pil_s
+    assert len(got_m) >= 1
+
+
+EXTRA_CASES = [
+    # new seeds widening the fuzz surface (VERDICT r2 item 8)
+    (101, 5, 400, 340, 0.006, 2, 2, 3),   # 5-genome selection, noisier
+    (202, 2, 900, 500, 0.001, 4, 5, 1),   # long genome, deep, many plants
+]
+
+
+@pytest.mark.parametrize("seed,n_g,glen,depth,err,n_maj,n_min,src",
+                         EXTRA_CASES)
+def test_engine_equals_composed_oracle_extra(tmp_path, seed, n_g, glen,
+                                             depth, err, n_maj, n_min, src):
+    test_engine_equals_composed_oracle(tmp_path, seed, n_g, glen, depth,
+                                       err, n_maj, n_min, src)

@@ -171,3 +171,159 @@ def test_sharded_tally_words_300_strains(tmp_path):
         jnp.asarray(sharded.postings), jnp.asarray(sharded.hist_words))
     assert int(np.asarray(ov)[0]) == 0
     assert np.array_equal(np.asarray(t_mesh), np.asarray(t_single))
+
+
+def _pad_batches(kmer_counts, B):
+    kmers = np.asarray([kc[0] for kc in kmer_counts], np.uint64)
+    counts = np.asarray([kc[1] for kc in kmer_counts], np.int32)
+    nb = -(-len(kmers) // B)
+    kb = np.zeros(nb * B, np.uint64); kb[:len(kmers)] = kmers
+    cb = np.zeros(nb * B, np.int32); cb[:len(counts)] = counts
+    return jnp.asarray(kb.reshape(nb, B)), jnp.asarray(cb.reshape(nb, B))
+
+
+@pytest.mark.parametrize("n_data,n_genome", [(8, 1), (4, 2), (2, 4)])
+def test_routed_tally_matches_single(tmp_path, n_data, n_genome):
+    """Hash-range ROUTED tally (key table partitioned over 'data', queries
+    travel via all_to_all) must equal the single-device tallies exactly on
+    any DxG mesh — this is the intra-batch layout that replaces the
+    B-split's fixed per-device U-key re-sort (VERDICT r2 item 3)."""
+    from bronko_tpu.parallel.pipeline import (
+        make_routed_tally_scan, route_split,
+    )
+
+    rng = np.random.default_rng(29)
+    k = 21
+    files = [(f"g{f}", [(f"s{f}", random_genome(rng, 220 + 20 * f))])
+             for f in range(5)]
+    index = make_index(tmp_path, files, k)
+    kmer_counts = sample_kmers(rng, files, k, n_exact=130, n_mut=70, n_junk=14)
+
+    _, _, tallies1 = run_device_map(index, kmer_counts, batch=256)
+
+    mesh = make_mesh(n_data, n_genome)
+    sharded = split_index(index, n_genome)
+    assert sharded.hist is not None
+    mcfg = sharded.map_config(2, False)
+    kj, cj = _pad_batches(kmer_counts, 256)
+
+    keys_r, hist_r, starts_r, bounds = route_split(sharded, n_data)
+    # per-(src, dst) budget ~2x the uniform expectation (engine uses 1.35x)
+    C = 2 * (256 // n_data) * 16 // n_data
+    step = make_routed_tally_scan(mesh, mcfg, "hist", C=C)
+    tl, lt, ov = step(kj, cj, jnp.asarray(keys_r), jnp.asarray(hist_r),
+                      jnp.asarray(starts_r), jnp.asarray(bounds))
+    assert int(np.asarray(ov)[0]) == 0
+    assert np.array_equal(np.asarray(tl), tallies1)
+
+    # a too-small routing budget must FLAG, not silently drop
+    step_tiny = make_routed_tally_scan(mesh, mcfg, "hist", C=1)
+    _, _, ov_tiny = step_tiny(kj, cj, jnp.asarray(keys_r),
+                              jnp.asarray(hist_r), jnp.asarray(starts_r),
+                              jnp.asarray(bounds))
+    assert int(np.asarray(ov_tiny)[0]) != 0
+
+
+def test_routed_tally_words_matches_single(tmp_path):
+    """Routed tally in multi-word histogram mode (G > 8) on a 4x2 mesh."""
+    from bronko_tpu.ops.map import tally_all_jit
+    from bronko_tpu.parallel.pipeline import (
+        make_routed_tally_scan, route_split,
+    )
+
+    rng = np.random.default_rng(31)
+    k = 21
+    base = random_genome(rng, 160)
+    files = []
+    for i in range(12):
+        g = bytearray(base)
+        for p in rng.integers(0, len(base), 5):
+            g[p] = b"ACGT"[rng.integers(4)]
+        files.append((f"g{i:02d}", [(f"s{i}", bytes(g))]))
+    index = make_index(tmp_path, files, k)
+    kmer_counts = sample_kmers(rng, files, k, n_exact=80, n_mut=40, n_junk=8)
+
+    dev = build_device_index(index)
+    assert dev.hist_words is not None
+    kj, cj = _pad_batches(kmer_counts, 128)
+    mcfg1 = dev.map_config(2, False)
+    t0 = jnp.zeros((12, 3), jnp.int32)
+    t_single, _ = tally_all_jit(kj, cj, dev.keys, dev.offsets, dev.postings,
+                                dev.hist_words, t0, mcfg1, "words")
+
+    mesh = make_mesh(4, 2)
+    sharded = split_index(index, 2)
+    assert sharded.hist_words is not None
+    mcfg = sharded.map_config(2, False)
+    keys_r, hist_r, starts_r, bounds = route_split(sharded, 4)
+    step = make_routed_tally_scan(mesh, mcfg, "words", C=512)
+    tl, lt, ov = step(kj, cj, jnp.asarray(keys_r), jnp.asarray(hist_r),
+                      jnp.asarray(starts_r), jnp.asarray(bounds))
+    assert int(np.asarray(ov)[0]) == 0
+    assert np.array_equal(np.asarray(tl), np.asarray(t_single))
+
+
+def test_routed_saved_pileup_matches_single(tmp_path):
+    """Dx1 routed pass 1 (save=True) feeding the routed pass 2: the merged
+    pileup must byte-equal the single-device saved-artifact pass 2 for the
+    selected genome (depth pmax / count psum merge, call.rs:1420-1431)."""
+    from dataclasses import replace
+
+    from bronko_tpu.call.engine import pick_best_genome
+    from bronko_tpu.ops.map import pileup_from_saved_jit, tally_save_jit
+    from bronko_tpu.parallel.pipeline import (
+        make_routed_pileup_scan, make_routed_tally_scan, route_split,
+    )
+
+    rng = np.random.default_rng(37)
+    k = 21
+    files = [(f"g{f}", [(f"s{f}", random_genome(rng, 300 + 40 * f))])
+             for f in range(4)]
+    index = make_index(tmp_path, files, k)
+    kmer_counts = sample_kmers(rng, files, k, n_exact=150, n_mut=70, n_junk=10)
+
+    dev = build_device_index(index)
+    assert dev.hist is not None and dev.fid_grouped
+    kj, cj = _pad_batches(kmer_counts, 256)
+    mcfg1 = dev.map_config(2, False)
+
+    # single-device product path: tally_save -> pileup_from_saved
+    t0 = jnp.zeros((4, 3), jnp.int32)
+    tj, lt1, st1, h1 = tally_save_jit(kj, cj, dev.keys, dev.offsets,
+                                      dev.hist, t0, mcfg1)
+    tallies1 = np.asarray(tj).astype(np.int64)
+    best = pick_best_genome(tallies1, dev)
+    gcfg1 = replace(mcfg1, total_len=dev.g_total_len,
+                    max_bucket=dev.g_max_bucket, lane_budget=1 << 14)
+    pl0 = jnp.zeros((4, dev.g_total_len + 1, 4), jnp.int32)
+    post = (dev.postings_local32 if dev.postings_local32 is not None
+            else dev.postings)
+    pl1, ov1 = pileup_from_saved_jit(kj, cj, st1, h1, post, pl0,
+                                     jnp.int32(best),
+                                     jnp.int32(int(dev.file_bases[best])),
+                                     gcfg1)
+    assert int(ov1) == 0
+
+    # routed mesh path (8x1)
+    mesh = make_mesh(8, 1)
+    sharded = split_index(index, 1)
+    assert sharded.hist is not None
+    mcfg = sharded.map_config(2, False)
+    keys_r, hist_r, starts_r, bounds = route_split(sharded, 8)
+    step = make_routed_tally_scan(mesh, mcfg, "hist", C=256, save=True)
+    tl, lt, ov, st_all, h_all = step(
+        kj, cj, jnp.asarray(keys_r), jnp.asarray(hist_r),
+        jnp.asarray(starts_r), jnp.asarray(bounds))
+    assert int(np.asarray(ov)[0]) == 0
+    assert np.array_equal(np.asarray(tl), tallies1)
+    assert int(np.asarray(lt)[best]) == int(np.asarray(lt1)[best])
+
+    gcfg = replace(mcfg, total_len=dev.g_total_len,
+                   max_bucket=dev.g_max_bucket, lane_budget=1 << 12)
+    pstep = make_routed_pileup_scan(mesh, gcfg)
+    pl2, ov2 = pstep(kj, cj, st_all, h_all,
+                     jnp.asarray(sharded.postings[0]),
+                     jnp.asarray([best], jnp.int32),
+                     jnp.asarray([int(dev.file_bases[best])], jnp.int32))
+    assert int(np.asarray(ov2)[0]) == 0
+    assert np.array_equal(np.asarray(pl2), np.asarray(pl1))
