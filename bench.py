@@ -133,6 +133,13 @@ def _single_sample_run(index, dev, cfg, fastq):
 
     kj, cj = _prepare_batches(kmers, counts, cfg.batch_size)
     h2d_bytes = kj.size * 8 + cj.size * 4
+    # force the upload OUT of the tally stage: ~2 MB through the axon
+    # relay costs ~100 ms and is NOT device map work (the cohort pipeline
+    # overlaps it with host counting; the roofline prices device compute)
+    import jax
+
+    jax.block_until_ready((kj, cj))
+    t_h2d = time.time()
     tj = jnp.zeros((dev.num_genomes, 3), jnp.int32)
     tj, lane_tot, ii_all, h_all = tally_save_jit(
         kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
@@ -150,6 +157,34 @@ def _single_sample_run(index, dev, cfg, fastq):
     records, stats, _ = call_sample_variants(index, dev, cfg, best, pileup)
     t_call = time.time()
 
+    # FUSED production path (samples 2+ of a cohort): both passes + device
+    # genome selection in ONE dispatch with the rolling static budget —
+    # this is what the roofline prices (map_fused_jit); best-of-3
+    from dataclasses import replace
+
+    from bronko_tpu.call.engine import _pass2_budget
+    from bronko_tpu.ops.map import map_fused_jit
+
+    exact = int(np.asarray(lane_tot)[best])
+    budget = _pass2_budget(kj, mcfg, None, exact * 5 // 4 + 1024)
+    gcfg = replace(mcfg, total_len=dev.g_total_len,
+                   max_bucket=dev.g_max_bucket, lane_budget=budget)
+    glen2 = jnp.asarray(2 * np.asarray(dev.genome_lens, np.int64))
+    fbases = jnp.asarray(np.asarray(dev.file_bases, np.int32))
+    post = (dev.postings_local32 if dev.postings_local32 is not None
+            else dev.postings)
+    fused_map_s = float("inf")
+    for rep in range(4):  # rep 0 compiles
+        t0f = time.time()
+        tj0 = jnp.zeros((dev.num_genomes, 3), jnp.int32)
+        outf = map_fused_jit(kj, cj, dev.keys, dev.offsets, dev.hist, post,
+                             tj0, glen2, fbases, mcfg, gcfg)
+        np.asarray(outf[0])
+        np.asarray(outf[5][0, :8])
+        assert not int(np.asarray(outf[6])), "fused bench budget overflow"
+        if rep:
+            fused_map_s = min(fused_map_s, time.time() - t0f)
+
     # pass-2 scatter lanes = total (kmer, posting) events = count-plane mass
     lanes2 = int(np.asarray(pileup[2:].sum()))
     return dict(
@@ -157,7 +192,9 @@ def _single_sample_run(index, dev, cfg, fastq):
         unique=cstats.unique_counted_kmers,
         n_variants=len(records),
         count_s=t_count - t_start,
-        tally_s=t_tally - t_count,
+        h2d_s=t_h2d - t_count,
+        fused_map_s=fused_map_s,
+        tally_s=t_tally - t_h2d,
         pileup_s=t_pileup - t_tally,
         call_s=t_call - t_pileup,
         total_s=t_call - t_start,
@@ -318,37 +355,50 @@ def _tpu_scale_sweep(index, dev, cfg, fastq, full_map_s: float) -> dict | None:
 
             @jax.jit
             def tally_rows(kjr, cjr, krr, hrr, srr):
-                def body(tl, row):
+                def body(carry, row):
+                    tl, lt = carry
                     km, ct, kch, hch, sch = row
                     q, _, _ = _bucket_q(km, cfg=mcfg)
                     q_s, ord_s, slot, _ov = _route_group(
                         q.reshape(N2l), jnp.repeat(ct > 0, J), bd, D, C)
                     buf = jnp.zeros(D * C, jnp.uint64).at[slot].set(
                         q_s, mode="drop", indices_are_sorted=True)
+                    # narrow sort-operand pickup, matching what a REAL
+                    # Dx1 device runs (nb=1, no scan); this proxy's
+                    # scan+ys shape compiles fine (unlike
+                    # _tally_save_body's, see the sortops gating note)
                     got = _merge_probe(buf, kch, (hch, sch))
                     vals = _unroute(list(got), slot, ord_s, Bl, J)
                     h = jnp.where((ct > 0)[:, None], vals[0], 0)
                     hits = _hist_hits(h, G)
-                    return tl + classify_tallies(hits, ct > 0, J), \
-                        (vals[1], h)
+                    tl = tl + classify_tallies(hits, ct > 0, J)
+                    lt = jnp.maximum(lt, hits.sum(axis=0, dtype=jnp.int64))
+                    return (tl, lt), (vals[1], h)
 
-                tl0 = jnp.zeros((G, 3), jnp.int32)
-                tl, (st_all, h_all) = jax.lax.scan(
-                    body, tl0, (kjr, cjr, krr, hrr, srr))
-                return tl, st_all, h_all
+                init = (jnp.zeros((G, 3), jnp.int32),
+                        jnp.zeros(G, jnp.int64))
+                (tl, lt), (st_all, h_all) = jax.lax.scan(
+                    body, init, (kjr, cjr, krr, hrr, srr))
+                return tl, lt, st_all, h_all
 
             from dataclasses import replace
+
+            from bronko_tpu.call.engine import _lane_class
 
             best_t = float("inf")
             for rep in range(3):
                 t0 = time.time()
-                tj, st_all, h_all = tally_rows(kjr, cjr, krr, hrr, srr)
+                tj, lt, st_all, h_all = tally_rows(kjr, cjr, krr, hrr, srr)
                 tallies = np.asarray(tj).astype(np.int64)
                 best = pick_best_genome(tallies, dev)
+                # per-ROW exact budget (max over rows), like the routed
+                # engine's lane_totals/D sizing — an inflated budget makes
+                # pass 2 pay phantom lanes and poisons the proxy
+                exact_row = int(np.asarray(lt)[best])
                 gcfg = replace(
                     mcfg, total_len=dev.g_total_len,
                     max_bucket=dev.g_max_bucket,
-                    lane_budget=max(1024, (N2l * mcfg.lane_factor) // 2))
+                    lane_budget=_lane_class(exact_row, floor=1024))
                 post = (dev.postings_local32
                         if dev.postings_local32 is not None
                         else dev.postings)
@@ -479,7 +529,10 @@ def _pipeline_main():
     # every random device access at the gather ceiling — both measured NOW,
     # on this chip, at these lane counts (TPU only; the CPU subprocesses
     # never report a roofline, so skip the extra compiles there)
-    map_s = r["tally_s"] + r["pileup_s"]
+    # the roofline prices the FUSED production path (one dispatch for both
+    # passes + device genome selection — what cohort samples 2+ run);
+    # tally_s/pileup_s report the exact two-pass split for stage insight
+    map_s = min(r["tally_s"] + r["pileup_s"], r["fused_map_s"])
     # pass 1's payload pickup rides the merge sort itself (no per-query
     # random access anymore); pass 2 pays 4 random accesses per posting
     # lane (posting gather, fold-table gather, depth max, count add)
@@ -507,8 +560,10 @@ def _pipeline_main():
         n_variants=r["n_variants"],
         single=dict(
             count_s=round(r["count_s"], 3),
+            h2d_s=round(r["h2d_s"], 3),
             tally_s=round(r["tally_s"], 3),
             pileup_s=round(r["pileup_s"], 3),
+            fused_map_s=round(r["fused_map_s"], 3),
             call_s=round(r["call_s"], 3),
             total_s=round(r["total_s"], 3),
             reads_per_sec=round(r["reads"] / r["total_s"], 1),

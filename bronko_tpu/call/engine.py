@@ -38,8 +38,9 @@ from bronko_tpu.io.fastq import read_fastq_chunks
 from bronko_tpu.ops.count import CountStats, KmerCounter
 from bronko_tpu.ops.map import (
     PLANE_CNT_FWD, PLANE_CNT_REV, PLANE_DEPTH_FWD, PLANE_DEPTH_REV,
-    pileup_all_jit, pileup_from_saved_jit, pileup_from_saved_words_jit,
-    tally_all_jit, tally_save_jit, tally_save_words_jit,
+    map_fused_jit, pileup_all_jit, pileup_from_saved_jit,
+    pileup_from_saved_words_jit, tally_all_jit, tally_save_jit,
+    tally_save_words_jit,
 )
 
 log = logging.getLogger("bronko")
@@ -294,7 +295,8 @@ class ShardedMapper:
 
         self._saved_probe = None
         self._lane_totals = None
-        if not self._batchwise and self._routed_arrays() is not None:
+        if (not self._batchwise and self._routed_arrays() is not None
+                and self._routed_wins(kj)):
             return self._run_tallies_routed(kj, cj)
         while True:
             tl, ov = self._tally_step(self._batchwise)(
@@ -305,6 +307,18 @@ class ShardedMapper:
                      self.mcfg.lane_factor)
             self.mcfg = replace(self.mcfg, lane_factor=self.mcfg.lane_factor * 2)
             self._tally_steps.clear()
+
+    def _routed_wins(self, kj) -> bool:
+        """Intra-batch layout crossover, anchored to the real-chip proxy
+        (bench.py routed vs B-split rows: B-split wins at D=4, routed at
+        D=16 on the bench shapes): routed per-device sort lanes are
+        ~(U + alpha*B*J)/D with alpha~2.5 of routing machinery (local
+        dest-sort, buffer transit, return unsort, 1.35x budget slack) vs
+        the B-split's U + B*J/D fixed key re-sort — routed wins once the
+        replicated-key term dominates: (D-1)*U > 1.5*B*J."""
+        U = int(self.sharded.keys.shape[1])
+        N2 = int(kj.shape[1]) * len(self.mcfg.positions)
+        return (self.n_data - 1) * U * 2 > 3 * N2
 
     def _run_tallies_routed(self, kj, cj) -> np.ndarray:
         from bronko_tpu.parallel.pipeline import make_routed_tally_scan
@@ -652,6 +666,37 @@ def _map_one(
             # and the dispatch pipeline stays full across samples
             # (~2 relay round-trips/sample otherwise).
             tj = jnp.zeros((dev.num_genomes, 3), jnp.int32)
+            if dev.hist is not None and dev.fused_ratio > 0:
+                # FUSED single dispatch: pass 1 + device genome selection
+                # + pass 2 with a static budget from the rolling
+                # lanes-per-kmer ratio (x1.25 slack); overflow or a
+                # device/host selection mismatch falls back to the
+                # exact-budget pass 2 from the returned artifacts
+                from dataclasses import replace as _replace
+
+                budget = _pass2_budget(
+                    kj, mcfg, None,
+                    int(kmers.shape[0] * dev.fused_ratio * 5 / 4) + 1024)
+                gcfg = _replace(mcfg, total_len=dev.g_total_len,
+                                max_bucket=dev.g_max_bucket,
+                                lane_budget=budget)
+                if dev._glen2_dev is None:
+                    dev._glen2_dev = jnp.asarray(
+                        2 * dev.genome_lens.astype(np.int64))
+                    dev._fbases_dev = jnp.asarray(
+                        dev.file_bases.astype(np.int32))
+                post = (dev.postings_local32
+                        if dev.postings_local32 is not None
+                        else dev.postings)
+                (tj, lane_tot, best_dev, start_all, h_all, pileup,
+                 overflow) = map_fused_jit(
+                    kj, cj, dev.keys, dev.offsets, dev.hist, post, tj,
+                    dev._glen2_dev, dev._fbases_dev, mcfg, gcfg)
+                return PendingFused(
+                    kj=kj, cj=cj, tj=tj, lane_tot=lane_tot,
+                    best_dev=best_dev, saved=(start_all, h_all),
+                    pileup=pileup, overflow=overflow, mcfg=mcfg,
+                    n_kmers=kmers.shape[0], cstats=cstats, t_start=t0)
             if dev.hist is not None:
                 tj, lane_tot, start_all, h_all = tally_save_jit(
                     kj, cj, dev.keys, dev.offsets, dev.hist, tj, mcfg)
@@ -709,12 +754,62 @@ class PendingMap:
         log.info("Tallied %d kmers in %.2fs", self.n_kmers,
                  time.time() - self.t_start)
         best, triple = _select_and_log(tallies, index, dev, self.cstats)
+        _note_fused_ratio(dev, lane_totals[best], self.n_kmers)
         t1 = time.time()
         pileup = run_pileup_saved(
             self.kj, self.cj, self.saved, dev, best, self.mcfg,
             n_kmers=self.n_kmers, exact_lanes=int(lane_totals[best]))
         log.info("Scattered pileup in %.2fs", time.time() - t1)
         return best, pileup, triple
+
+
+def _note_fused_ratio(dev: DeviceIndex, lanes, n_kmers: int) -> None:
+    """Refresh the rolling pass-2 lanes-per-kmer ratio that sizes the
+    FUSED dispatch's static budget on later samples (only grows — a
+    shrinking ratio would re-risk the fallback on the next big sample)."""
+    if n_kmers > 0 and dev.hist is not None:
+        dev.fused_ratio = max(dev.fused_ratio, float(int(lanes)) / n_kmers)
+
+
+@dataclass
+class PendingFused:
+    """Fused-dispatch device handles: BOTH passes + device genome
+    selection already dispatched (map_fused_jit); resolve() only syncs
+    and validates. Falls back to the exact-budget pass 2 from the
+    returned probe artifacts when the static budget overflowed or the
+    device selection disagrees with the host pick (it cannot — the score
+    math is bit-identical — but selection parity is an invariant worth a
+    cheap guard, docs/parity_checklist.md)."""
+    kj: object
+    cj: object
+    tj: object
+    lane_tot: object
+    best_dev: object     # () int32 device argmax
+    saved: tuple         # (start_all, h_all) probe artifacts on device
+    pileup: object       # (4, Tg+1, 4) int32 device pileup for best_dev
+    overflow: object     # () int32 pass-2 budget overflow flag
+    mcfg: object
+    n_kmers: int
+    cstats: CountStats
+    t_start: float
+
+    def resolve(self, index: BronkoIndex, dev: DeviceIndex, cfg: CallConfig):
+        tallies = np.asarray(self.tj).astype(np.int64)
+        lane_totals = np.asarray(self.lane_tot)
+        log.info("Tallied %d kmers in %.2fs (fused)", self.n_kmers,
+                 time.time() - self.t_start)
+        best, triple = _select_and_log(tallies, index, dev, self.cstats)
+        _note_fused_ratio(dev, lane_totals[best], self.n_kmers)
+        if int(np.asarray(self.overflow)) or int(np.asarray(self.best_dev)) != best:
+            log.info("fused pass-2 budget overflowed or selection guard "
+                     "tripped; re-running pass 2 with the exact budget")
+            t1 = time.time()
+            pileup = run_pileup_saved(
+                self.kj, self.cj, self.saved, dev, best, self.mcfg,
+                n_kmers=self.n_kmers, exact_lanes=int(lane_totals[best]))
+            log.info("Scattered pileup in %.2fs", time.time() - t1)
+            return best, pileup, triple
+        return best, self.pileup, triple
 
 
 def _select_and_log(tallies: np.ndarray, index: BronkoIndex, dev: DeviceIndex,
@@ -754,7 +849,7 @@ def _finish_one(
     """Host phase of one sample: resolve the deferred device work (fast
     path), then noise scan + filter cascade (f64) + output writes. Runs on
     a worker thread overlapped with the next sample's device phase."""
-    if isinstance(result, (PendingMap, PendingStream)):
+    if isinstance(result, (PendingMap, PendingFused, PendingStream)):
         best, pileup, tally_triple = result.resolve(index, dev, cfg)
     else:
         best, pileup, tally_triple = result

@@ -82,6 +82,15 @@ class DeviceIndex:
     # pass 2 needs neither file_id nor global positions. Present when every
     # genome is < 2^25 bp (any viral panel); None otherwise.
     postings_local32: jnp.ndarray | None = None
+    # fused-dispatch budget state: rolling max of observed pass-2
+    # lanes-per-kmer, refreshed by the engine after every resolved sample.
+    # Nonzero enables map_fused_jit's single-dispatch path (pass 1 +
+    # device genome selection + pass 2, static budget = ratio * n_kmers *
+    # 1.25) on subsequent samples; a mis-sized budget only costs the
+    # exact-budget fallback dispatch (ops/map.py:map_fused_jit)
+    fused_ratio: float = 0.0
+    _glen2_dev: object = None    # (G,) f64 2*genome_lens, device-cached
+    _fbases_dev: object = None   # (G,) int32 file_bases, device-cached
     # deferred sub-index constructor: the per-genome sub-index duplicates
     # the whole posting space (measured ~half of a 709MB 32-strain device
     # image), and the probe-reuse pass-2 never touches it — so when a

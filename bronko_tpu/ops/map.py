@@ -318,7 +318,7 @@ def _scan1(body, init, xs):
     return jax.lax.scan(body, init, xs)
 
 
-def _merge_probe(q, keys, payloads):
+def _merge_probe(q, keys, payloads, sortops: bool = True):
     """Sorted-merge probe: one sort of concat(keys, queries) finds, for
     every query, the last key <= it and whether that key equals it —
     replacing jnp.searchsorted(method='sort') + the key-verification
@@ -379,7 +379,7 @@ def _merge_probe(q, keys, payloads):
             else:
                 kcols.append(c.astype(jnp.uint32))
 
-    if len(kcols) <= _SORTOP_COLS:
+    if sortops and len(kcols) <= _SORTOP_COLS:
         qpad = jnp.zeros(Bq, jnp.uint32)
         ops = jax.lax.sort(
             (xs, ot) + tuple(jnp.concatenate([c, qpad]) for c in kcols),
@@ -466,7 +466,7 @@ def _probe_ranges(kmers, counts, keys, offsets, *, cfg: MapConfig):
 
 
 def _probe_hist(kmers, counts, keys, payload, *, cfg: MapConfig,
-                offsets=None):
+                offsets=None, sortops: bool = True):
     """Probe with the per-bucket histogram fused into the merge sort:
     the histogram row rides the probe's own unsort as extra sort operands
     (picked up by a MONOTONE gather in merge order) instead of a separate
@@ -479,11 +479,12 @@ def _probe_hist(kmers, counts, keys, payload, *, cfg: MapConfig,
     padding k-mers."""
     q, canon, is_rc = _bucket_q(kmers, cfg=cfg)
     if offsets is None:
-        (h,) = _merge_probe(q, keys, (payload,))
+        (h,) = _merge_probe(q, keys, (payload,), sortops=sortops)
         start = None
     else:
         h, start = _merge_probe(q, keys,
-                                (payload, offsets[:keys.shape[0]]))
+                                (payload, offsets[:keys.shape[0]]),
+                                sortops=sortops)
     valid = (counts > 0)[:, None]
     mask = valid if h.ndim == valid.ndim else valid[..., None]
     h = jnp.where(mask, h, jnp.zeros((), h.dtype))
@@ -593,14 +594,26 @@ def tally_save_jit(kmers, counts, keys, offsets, hist, tallies, cfg: MapConfig):
     budget from lane_totals[best]: the expansion then processes ~the true
     load instead of a 1.5x-then-pow2 guess (measured 4.19M budget for a
     1.02M true load on the bench sample) and can never overflow-retry."""
+    return _tally_save_body(kmers, counts, keys, offsets, hist, tallies,
+                            cfg)
+
+
+def _tally_save_body(kmers, counts, keys, offsets, hist, tallies,
+                     cfg: MapConfig):
     nb_pos = len(cfg.positions)
     G = cfg.num_genomes
+    # the sort-operand pickup combined with the scan's ys stacking
+    # SIGSEGVs the TPU compiler (bisected: narrow 2-col + ys inside
+    # lax.scan crashes; either alone compiles) — multi-batch scans use
+    # the gather pickup instead; the nb==1 common case (scan skipped by
+    # _scan1) keeps the faster narrow path
+    sortops = kmers.shape[0] == 1
 
     def body(carry, batch):
         tl, lt = carry
         km, ct = batch
         h, start, _, _ = _probe_hist(km, ct, keys, hist, cfg=cfg,
-                                     offsets=offsets)
+                                     offsets=offsets, sortops=sortops)
         hits = _hist_hits(h, G)
         tl = tl + classify_tallies(hits, ct > 0, nb_pos)
         lt = jnp.maximum(lt, hits.sum(axis=0, dtype=jnp.int64))
@@ -693,6 +706,51 @@ def pileup_from_saved_words_jit(kmers, counts, start_all, hw_all,
     return pileup, overflow
 
 
+def _pick_best_device(tallies, glen2):
+    """Device twin of engine.pick_best_genome (call.rs:422-450): score =
+    perfect / (2*glen) in f64 — bit-identical to the host's
+    float(t)/glen/2.0 because dividing by 2 is exact, so the single
+    rounding lands on the same value — zero-length genomes excluded,
+    first maximum wins (argmax first-occurrence == the reference's
+    strict-> keeping the earliest). The caller still recomputes the host
+    pick from the returned tallies for the None case (no positive
+    score)."""
+    scores = jnp.where(glen2 > 0,
+                       tallies[:, 0].astype(jnp.float64)
+                       / jnp.maximum(glen2, 1).astype(jnp.float64),
+                       jnp.float64(-1.0))
+    return jnp.argmax(scores).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "gcfg"),
+                   donate_argnums=(6,))
+def map_fused_jit(kmers, counts, keys, offsets, hist, postings, tallies,
+                  glen2, file_bases, cfg: MapConfig, gcfg: MapConfig):
+    """BOTH passes + genome selection in ONE dispatch (single-word
+    histogram panels): pass 1 saves the probe artifacts, the best genome
+    is picked on device (_pick_best_device), and pass 2 expands the saved
+    artifacts for it immediately — no host round-trip between the passes
+    (each costs a full relay RTT + dispatch, ~35-75 ms/sample measured).
+
+    The pass-2 lane budget (gcfg.lane_budget) must be STATIC, so the
+    engine sizes it from a rolling lanes-per-kmer ratio observed on
+    earlier samples (x1.25 slack); the overflow flag falls back to the
+    exact-budget two-pass path using the returned artifacts — nothing is
+    ever dropped, a mis-sized budget only costs the fallback dispatch.
+
+    Returns (tallies, lane_totals, best, start_all, h_all, pileup,
+    overflow)."""
+    tallies, lane_totals, start_all, h_all = _tally_save_body(
+        kmers, counts, keys, offsets, hist, tallies, cfg)
+    best = _pick_best_device(tallies, glen2)
+    fbase = file_bases[best]
+    pileup0 = jnp.zeros((4, gcfg.total_len + 1, 4), jnp.int32)
+    pileup, overflow = _pileup_from_saved_body(
+        kmers, counts, start_all, h_all, postings, pileup0, best, fbase,
+        gcfg)
+    return tallies, lane_totals, best, start_all, h_all, pileup, overflow
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(5,))
 def pileup_from_saved_jit(kmers, counts, start_all, h_all, postings,
                           pileup, best, file_base, cfg: MapConfig):
@@ -701,6 +759,12 @@ def pileup_from_saved_jit(kmers, counts, start_all, h_all, postings,
     (postings are fid-grouped within a bucket, asserted at index load).
     `best` and `file_base` are traced scalars, so one executable serves
     every selected genome."""
+    return _pileup_from_saved_body(kmers, counts, start_all, h_all,
+                                   postings, pileup, best, file_base, cfg)
+
+
+def _pileup_from_saved_body(kmers, counts, start_all, h_all, postings,
+                            pileup, best, file_base, cfg: MapConfig):
     k = cfg.k
     J = len(cfg.positions)
     def body(carry, batch):

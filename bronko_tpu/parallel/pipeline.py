@@ -528,7 +528,11 @@ def make_routed_tally_scan(mesh: Mesh, cfg: MapConfig, mode: str, C: int,
             bufx = jax.lax.all_to_all(buf.reshape(D, C), "data", 0, 0,
                                       tiled=True)
             payloads = (hr, sr) if save else (hr,)
-            got = _merge_probe(bufx.reshape(D * C), kr, payloads)
+            # sort-operand pickup + ys stacking inside lax.scan SIGSEGVs
+            # the TPU compiler (ops/map.py:_tally_save_body) — gather
+            # pickup when this body scans AND saves artifacts
+            got = _merge_probe(bufx.reshape(D * C), kr, payloads,
+                               sortops=not (save and kj.shape[0] > 1))
             backs = []
             for v in got:
                 vx = jax.lax.all_to_all(

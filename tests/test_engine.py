@@ -561,3 +561,100 @@ def test_mesh_multi_genome_hist_mode(synth, tmp_path):
     for fname in ("samp.vcf", "bronko_overview.tsv", "samp.tsv"):
         assert open(os.path.join(out_m, fname)).read() == \
             open(os.path.join(out_1, fname)).read(), fname
+
+
+def test_fused_dispatch_byte_identical(synth, tmp_path, caplog):
+    """FUSED single-dispatch map (pass 1 + device genome selection +
+    pass 2, static rolling budget) must produce byte-identical outputs to
+    the two-pass path. A 3-sample cohort exercises the transition: sample
+    1 runs exact two-pass (no ratio yet), samples 2-3 take the fused path
+    — every VCF must equal the corresponding exact single-sample run."""
+    import shutil
+
+    tmp, ref, fq, genome, alts = synth
+    cohort = []
+    for i in range(3):
+        p = str(tmp_path / f"fused_{i}.fastq.gz")
+        shutil.copy(fq, p)
+        cohort.append(p)
+
+    out_c = str(tmp_path / "out_fused_cohort")
+    cfg = small_cfg(genomes=[ref], reads=cohort, output=out_c)
+    index = build_index(cfg.kmer, [ref])
+    dev = build_device_index(index)
+    assert dev.hist is not None
+    # pre-seed a generous ratio so every sample takes the fused dispatch
+    # deterministically (organically the ratio arrives from sample 1's
+    # worker-thread resolve, engaging fused a sample or two later)
+    dev.fused_ratio = 8.0
+    import logging
+
+    import bronko_tpu.call.engine  # noqa: F401 — logger registration
+
+    with caplog.at_level(logging.INFO, logger="bronko"):
+        run_call(cfg, index, dev)
+    assert any("(fused)" in r.message for r in caplog.records)
+
+    # exact single-sample reference run (fresh dev: ratio 0 -> two-pass)
+    out_s = str(tmp_path / "out_fused_single")
+    dev2 = build_device_index(index)
+    run_call(small_cfg(genomes=[ref], reads=[cohort[0]], output=out_s),
+             index, dev2)
+
+    want = open(os.path.join(out_s, "fused_0.vcf"), "rb").read().split(b"\n")
+    want_rows = [r for r in want if not r.startswith(b"##reference")]
+    for i in range(3):
+        got = open(os.path.join(out_c, f"fused_{i}.vcf"), "rb").read().split(b"\n")
+        got_rows = [r for r in got if not r.startswith(b"##reference")]
+        assert got_rows == want_rows
+
+
+def test_fused_budget_overflow_falls_back(synth, tmp_path, monkeypatch, caplog):
+    """A deliberately absurd fused ratio still yields correct output: the
+    tiny static budget overflows, the guard re-runs pass 2 with the exact
+    budget, and the VCF is unchanged."""
+    import shutil
+
+    import bronko_tpu.call.engine as eng
+
+    tmp, ref, fq, genome, alts = synth
+    cohort = []
+    for i in range(2):
+        p = str(tmp_path / f"ovf_{i}.fastq.gz")
+        shutil.copy(fq, p)
+        cohort.append(p)
+
+    index = build_index(21, [ref])
+    dev = build_device_index(index)
+    # force a ~vanishing budget for the fused dispatch on sample 2: patch
+    # _note_fused_ratio so the fused path engages, AND _pass2_budget so
+    # the fused static budget is 1024 lanes (the exact-fallback's own
+    # overflow-retry loop still converges, so output stays correct)
+    monkeypatch.setattr(eng, "_note_fused_ratio",
+                        lambda d, lanes, n: setattr(d, "fused_ratio", 1e-9))
+    dev.fused_ratio = 1e-9  # fused from sample 1 onward
+    real_budget = eng._pass2_budget
+    monkeypatch.setattr(
+        eng, "_pass2_budget",
+        lambda kj, mcfg, n_kmers, exact_lanes=None:
+        1024 if n_kmers is None and exact_lanes is not None
+        and exact_lanes < (1 << 16)
+        else real_budget(kj, mcfg, n_kmers, exact_lanes))
+    out_c = str(tmp_path / "out_ovf")
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="bronko"):
+        run_call(small_cfg(genomes=[ref], reads=cohort, output=out_c),
+                 index, dev)
+    assert any("fused pass-2 budget overflowed" in r.message
+               for r in caplog.records)
+
+    out_s = str(tmp_path / "out_ovf_single")
+    run_call(small_cfg(genomes=[ref], reads=[cohort[0]], output=out_s),
+             index, build_device_index(index))
+    want = [r for r in open(os.path.join(out_s, "ovf_0.vcf"), "rb").read().split(b"\n")
+            if not r.startswith(b"##reference")]
+    for i in range(2):
+        got = [r for r in open(os.path.join(out_c, f"ovf_{i}.vcf"), "rb").read().split(b"\n")
+               if not r.startswith(b"##reference")]
+        assert got == want
