@@ -1171,16 +1171,16 @@ def _run_call_inner(cfg: CallConfig, index: BronkoIndex,
 
     # host counting (C++, GIL-free) prefetches upcoming samples while the
     # device maps the current one — the reference's rayon-join concurrency
-    # (call.rs:301-307) generalized across the sample stream. ONE count at a
-    # time with the full thread budget: counts in isolation finish ~20%
-    # faster when two run concurrently with the budget split (the one-shot
-    # inflate is the single-threaded section), but in the REAL pipeline the
-    # count already hides behind the previous sample's device work, and the
-    # split starves the jax dispatch + variant-call threads on a 4-core
-    # host (interleaved TPU A/B: 1-worker 2.97-3.14 s vs 2-worker
-    # 3.23-3.39 s for the 3-sample cohort). BRONKO_COUNT_WORKERS overrides
-    # for wider hosts. Submission is bounded (<= workers+1 ahead) so
-    # counted k-mer arrays don't pile up in memory on large cohorts.
+    # (call.rs:301-307) generalized across the sample stream. TWO counts
+    # in flight by default on >=4-thread hosts: with the fused device map
+    # at ~0.19 s/sample, host counting (~0.35 s) became the cohort's
+    # steady-state bound, and a filled-pipeline A/B (15 samples,
+    # interleaved fresh processes, 2026-08-19) measured 2 workers at
+    # median 4.41 s vs 4.98 s for 1 — reversing the round-2 result
+    # (1-worker won when the device map was 2x slower and counting hid
+    # behind it). BRONKO_COUNT_WORKERS still overrides either way.
+    # Submission is bounded (<= workers+1 ahead) so counted k-mer arrays
+    # don't pile up in memory on large cohorts.
     mcfg0 = dev.map_config(cfg.n_fixed, cfg.use_full_kmer)
     if (len(jobs) == 1 and len(mcfg0.positions) > 0
             and _can_stream(cfg, dev, sharded)):
@@ -1210,7 +1210,9 @@ def _run_call_inner(cfg: CallConfig, index: BronkoIndex,
     from concurrent.futures import wait as _fwait
 
     try:
-        count_workers = max(1, int(os.environ.get("BRONKO_COUNT_WORKERS", "1")))
+        default_cw = 2 if (os.cpu_count() or 1) >= 4 and len(jobs_iter) > 1 else 1
+        count_workers = max(1, int(os.environ.get("BRONKO_COUNT_WORKERS",
+                                                  str(default_cw))))
     except ValueError:
         log.warning("BRONKO_COUNT_WORKERS is not an integer; using 1")
         count_workers = 1

@@ -36,7 +36,22 @@ from bronko_tpu.call.engine import run_call
 from bronko_tpu.config import CallConfig
 from bronko_tpu.index.build import build_index
 from bronko_tpu.index.layout import build_device_index
-cfg = CallConfig(db="bench", reads=list(fastqs), output="/tmp/ab_tpu_out")
+# BRONKO_AB_COPIES repeats the 3 distinct samples N times (file copies,
+# same shapes) so steady-state arms aren't dominated by pipeline
+# fill/drain; default 1 keeps the historical 3-sample discipline
+import shutil
+copies = int(os.environ.get("BRONKO_AB_COPIES", "1"))
+cohort = []
+for c in range(copies):
+    for s, fq in enumerate(fastqs):
+        if c == 0:
+            cohort.append(fq)
+            continue
+        p = os.path.join(bench.CACHE, f"ab_{c}_{s}.fastq.gz")
+        if not os.path.exists(p):
+            shutil.copy(fq, p)
+        cohort.append(p)
+cfg = CallConfig(db="bench", reads=cohort, output="/tmp/ab_tpu_out")
 os.makedirs(cfg.output, exist_ok=True)
 index = build_index(cfg.kmer, genome_paths)
 dev = build_device_index(index)
