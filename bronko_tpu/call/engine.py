@@ -1040,22 +1040,57 @@ def _env_flag(name: str) -> bool:
         "", "0", "false", "no", "off")
 
 
+_DISPATCH_LAT: list = []
+
+
+def _dispatch_latency_s() -> float:
+    """Per-dispatch device round-trip, measured once per process with a
+    tiny jit (compile disk-cached; the timed call is the steady second
+    one). Relay-attached TPUs sit at ~30-40 ms, directly-attached at
+    <1 ms — the streamed count->tally overlap pays one dispatch per
+    partition, so it only wins below a few ms."""
+    if not _DISPATCH_LAT:
+        try:
+            f = jax.jit(lambda x: x + 1)
+            x = jnp.zeros(8, jnp.int32)
+            np.asarray(f(x))
+            t0 = time.time()
+            np.asarray(f(x))
+            _DISPATCH_LAT.append(time.time() - t0)
+        except Exception:  # noqa: BLE001
+            _DISPATCH_LAT.append(0.0)
+    return _DISPATCH_LAT[0]
+
+
 def _can_stream(cfg: CallConfig, dev: DeviceIndex, sharded) -> bool:
     """Streaming pays when there is no cross-sample prefetch to hide the
-    host count anyway (single job), the probe-reuse fast path applies, and
-    no full k-mer dump is requested."""
+    host count anyway (single job), the probe-reuse fast path applies,
+    no full k-mer dump is requested, AND dispatch is cheap: with the
+    fused map the classic path measures 0.70-0.77 s vs streamed
+    0.75-0.96 s through the ~35 ms-dispatch relay (bench.py 2026-08-19)
+    — the per-partition dispatches now cost more than the count they
+    hide. BRONKO_STREAM=1 forces on (directly-attached hosts),
+    BRONKO_NO_STREAM/BRONKO_STREAM=0 force off, unset = auto by the
+    measured dispatch latency."""
     if sharded is not None or cfg.keep_kmer_counts or cfg.counter == "device":
         return False
     if _env_flag("BRONKO_NO_STREAM"):  # debug/A-B override
+        return False
+    stream_env = os.environ.get("BRONKO_STREAM", "").strip().lower()
+    if stream_env in ("0", "false", "no", "off"):
         return False
     if (dev.hist is None and dev.hist_words is None) or not dev.fid_grouped:
         return False
     try:
         from bronko_tpu.io.native import get_lib
 
-        return get_lib() is not None
+        if get_lib() is None:
+            return False
     except Exception:  # noqa: BLE001
         return False
+    if stream_env in ("1", "true", "yes", "on"):
+        return True
+    return _dispatch_latency_s() < 0.004
 
 
 def _count_job(paths: list[str], cfg: CallConfig, k: int,
