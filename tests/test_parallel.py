@@ -172,6 +172,19 @@ def test_sharded_tally_words_300_strains(tmp_path):
     assert int(np.asarray(ov)[0]) == 0
     assert np.array_equal(np.asarray(t_mesh), np.asarray(t_single))
 
+    # the ROUTED layout must carry the same 300-strain panel (words mode:
+    # 38 int64 histogram words ride the routed return trip per query)
+    from bronko_tpu.parallel.pipeline import (
+        make_routed_tally_scan, route_split,
+    )
+
+    keys_r, hist_r, starts_r, bounds = route_split(sharded, 2)
+    t_rt, _, ov_r = make_routed_tally_scan(mesh, mcfg, "words", C=1024)(
+        kj, cj, jnp.asarray(keys_r), jnp.asarray(hist_r),
+        jnp.asarray(starts_r), jnp.asarray(bounds))
+    assert int(np.asarray(ov_r)[0]) == 0
+    assert np.array_equal(np.asarray(t_rt), np.asarray(t_single))
+
 
 def _pad_batches(kmer_counts, B):
     kmers = np.asarray([kc[0] for kc in kmer_counts], np.uint64)
