@@ -135,10 +135,11 @@ def _single_sample_run(index, dev, cfg, fastq):
     h2d_bytes = kj.size * 8 + cj.size * 4
     # force the upload OUT of the tally stage: ~2 MB through the axon
     # relay costs ~100 ms and is NOT device map work (the cohort pipeline
-    # overlaps it with host counting; the roofline prices device compute)
-    import jax
-
-    jax.block_until_ready((kj, cj))
+    # overlaps it with host counting; the roofline prices device compute).
+    # Forced via np.asarray of slices — block_until_ready under-reports
+    # through the relay (CLAUDE.md)
+    np.asarray(kj[0, :8])
+    np.asarray(cj[0, :8])
     t_h2d = time.time()
     tj = jnp.zeros((dev.num_genomes, 3), jnp.int32)
     tj, lane_tot, ii_all, h_all = tally_save_jit(

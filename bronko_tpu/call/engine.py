@@ -243,6 +243,7 @@ class ShardedMapper:
         # decayed B-split efficiency to 0.37 @ D=16 (BENCH_r02) scales
         # away. Built lazily on first non-batchwise sample.
         self._routed: tuple | None = None
+        self._routed_post = None       # replicated postings for routed pass 2
         self._routed_steps: dict = {}  # keyed by (C, save)
         self._routed_pileups: dict = {}  # keyed by (budget, total_len)
         self._saved_probe = None       # (start_all, h_all) from last tally
@@ -295,8 +296,13 @@ class ShardedMapper:
 
         self._saved_probe = None
         self._lane_totals = None
-        if (not self._batchwise and self._routed_arrays() is not None
-                and self._routed_wins(kj)):
+        # _routed_wins FIRST: _routed_arrays builds + uploads three
+        # index-sized tables (route_split), which must not happen for
+        # layouts where the B-split always wins
+        if (not self._batchwise and self.n_data > 1
+                and self.tally_mode in ("hist", "words")
+                and self._routed_wins(kj)
+                and self._routed_arrays() is not None):
             return self._run_tallies_routed(kj, cj)
         while True:
             tl, ov = self._tally_step(self._batchwise)(
@@ -413,8 +419,12 @@ class ShardedMapper:
         budget = max(1024, _lane_class(budget * 3 // (2 * self.n_data),
                                        floor=1024))
         P = self._P
-        postings = self._globalize(self.sharded.postings[0], self.mesh,
-                                   P(None))
+        if self._routed_post is None:
+            # placed ONCE: globalize is a plain device_put, and the full
+            # posting array through the relay costs seconds per transfer
+            self._routed_post = self._globalize(
+                self.sharded.postings[0], self.mesh, P(None))
+        postings = self._routed_post
         best_j = self._globalize(np.asarray([best], np.int32), self.mesh,
                                  P(None))
         fbase = self._globalize(
@@ -1062,7 +1072,8 @@ def _dispatch_latency_s() -> float:
     return _DISPATCH_LAT[0]
 
 
-def _can_stream(cfg: CallConfig, dev: DeviceIndex, sharded) -> bool:
+def _can_stream(cfg: CallConfig, dev: DeviceIndex, sharded,
+                explicit: bool = False) -> bool:
     """Streaming pays when there is no cross-sample prefetch to hide the
     host count anyway (single job), the probe-reuse fast path applies,
     no full k-mer dump is requested, AND dispatch is cheap: with the
@@ -1088,7 +1099,10 @@ def _can_stream(cfg: CallConfig, dev: DeviceIndex, sharded) -> bool:
             return False
     except Exception:  # noqa: BLE001
         return False
-    if stream_env in ("1", "true", "yes", "on"):
+    if explicit or stream_env in ("1", "true", "yes", "on"):
+        # an explicit opt-in (BRONKO_STREAM=1 / BRONKO_STREAM_FIRST=1)
+        # bypasses the latency auto-gate — it exists for A/Bs and
+        # directly-attached hosts
         return True
     return _dispatch_latency_s() < 0.004
 
@@ -1265,7 +1279,7 @@ def _run_call_inner(cfg: CallConfig, index: BronkoIndex,
     stream_first: list[str] | None = None
     if (_env_flag("BRONKO_STREAM_FIRST")
             and len(jobs_iter) > 1 and len(mcfg0.positions) > 0
-            and _can_stream(cfg, dev, sharded)):
+            and _can_stream(cfg, dev, sharded, explicit=True)):
         stream_first = jobs_iter[0]
         stream_first_gidx = iter_gidx[0]
         jobs_iter = jobs_iter[1:]

@@ -763,6 +763,24 @@ def pileup_from_saved_jit(kmers, counts, start_all, h_all, postings,
                                    postings, pileup, best, file_base, cfg)
 
 
+def _saved_lens_prefix(h, best):
+    """Selected genome's in-bucket posting (length, prefix) from the saved
+    single-word histogram: the byte at `best` is a direct dynamic shift;
+    the bytes BELOW it (its in-bucket posting prefix) are a mask + fixed
+    byte sum — no (B, J, G) broadcast materializes. Shared by the
+    single-device saved pass 2 AND the routed mesh pass 2 so the
+    fid-grouped-posting parity invariant lives in exactly one place."""
+    one = h.dtype.type(1)
+    shift = (best * 8).astype(h.dtype)
+    lens = ((h >> shift) & h.dtype.type(0xFF)).astype(jnp.int32)
+    below = h & ((one << shift) - one)
+    prefix = jnp.zeros_like(lens)
+    for byte in range(h.dtype.itemsize):
+        prefix = prefix + (((below >> h.dtype.type(8 * byte))
+                            & h.dtype.type(0xFF)).astype(jnp.int32))
+    return lens, prefix
+
+
 def _pileup_from_saved_body(kmers, counts, start_all, h_all, postings,
                             pileup, best, file_base, cfg: MapConfig):
     k = cfg.k
@@ -776,17 +794,7 @@ def _pileup_from_saved_body(kmers, counts, start_all, h_all, postings,
 
         pc = _fold_pc(km, ct, cfg=cfg)
 
-        # the selected genome's byte is a direct dynamic shift; the bytes
-        # BELOW it (its in-bucket posting prefix) are a mask + fixed byte
-        # sum — no (B, J, G) broadcast materializes
-        one = h.dtype.type(1)
-        shift = (best * 8).astype(h.dtype)
-        lens = ((h >> shift) & h.dtype.type(0xFF)).astype(jnp.int32)
-        below = h & ((one << shift) - one)
-        prefix = jnp.zeros_like(lens)
-        for byte in range(h.dtype.itemsize):
-            prefix = prefix + (((below >> h.dtype.type(8 * byte))
-                                & h.dtype.type(0xFF)).astype(jnp.int32))
+        lens, prefix = _saved_lens_prefix(h, best)
         startf = (start + prefix).reshape(N2).astype(jnp.int32)
         lensf = lens.reshape(N2)
 
@@ -806,13 +814,21 @@ def pileup_all_jit(kmers, counts, keys_g, offsets_g, postings_g, pileup, cfg: Ma
 
     keys_g/offsets_g/postings_g are the genome's sub-index rows; gpos in
     postings_g is local to the genome's pileup space (cfg.total_len =
-    padded per-genome length)."""
+    padded per-genome length).
 
-    def body(pl, batch):
+    The overflow flag rides the CARRY, not the ys: this body's probe
+    uses the narrow sort-operand pickup, and sort-operand pickup + scan
+    ys stacking is the bisected TPU-compiler SIGSEGV combination (see
+    _tally_save_body) — carrying the flag keeps multi-batch fallback
+    samples compilable."""
+
+    def body(carry, batch):
+        pl, ov = carry
         km, ct = batch
-        pl, _hits, ov = probe_scatter(km, ct, keys_g, offsets_g, postings_g,
-                                      pl, cfg=cfg)
-        return pl, ov
+        pl, _hits, ov2 = probe_scatter(km, ct, keys_g, offsets_g, postings_g,
+                                       pl, cfg=cfg)
+        return (pl, ov | ov2), None
 
-    pileup, ovs = _scan1(body, pileup, (kmers, counts))
-    return pileup, jnp.max(ovs)
+    (pileup, overflow), _ = _scan1(body, (pileup, jnp.int32(0)),
+                                   (kmers, counts))
+    return pileup, overflow

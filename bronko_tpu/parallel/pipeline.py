@@ -592,7 +592,9 @@ def make_routed_pileup_scan(mesh: Mesh, cfg: MapConfig):
 
     Returns step(kj, cj, start_all (nb,B,J), h_all, postings, best,
     file_base) -> (pileup (4,T+1,4) replicated, overflow (1,))."""
-    from bronko_tpu.ops.map import _expand_lanes, _fold_pc, _scatter_lanes
+    from bronko_tpu.ops.map import (
+        _expand_lanes, _fold_pc, _saved_lens_prefix, _scatter_lanes,
+    )
 
     T = cfg.total_len
     J = len(cfg.positions)
@@ -609,14 +611,7 @@ def make_routed_pileup_scan(mesh: Mesh, cfg: MapConfig):
             N2l = Bl * J
             LB = cfg.lane_budget if cfg.lane_budget else Bl * J * cfg.lane_factor
             pc = _fold_pc(km, ct, cfg=cfg)
-            one = h.dtype.type(1)
-            shift = (best * 8).astype(h.dtype)
-            lens = ((h >> shift) & h.dtype.type(0xFF)).astype(jnp.int32)
-            below = h & ((one << shift) - one)
-            prefix = jnp.zeros_like(lens)
-            for byte in range(h.dtype.itemsize):
-                prefix = prefix + (((below >> h.dtype.type(8 * byte))
-                                    & h.dtype.type(0xFF)).astype(jnp.int32))
+            lens, prefix = _saved_lens_prefix(h, best)
             startf = (start + prefix).reshape(N2l).astype(jnp.int32)
             lensf = lens.reshape(N2l)
             own_c, pidx_s, lane_valid, total = _expand_lanes(startf, lensf, LB)
