@@ -166,6 +166,28 @@ def _single_sample_run(index, dev, cfg, fastq):
     from bronko_tpu.call.engine import _pass2_budget
     from bronko_tpu.ops.map import map_fused_jit
 
+    import jax as _jax
+
+    if _jax.default_backend() == "cpu":
+        # host-baseline subprocess: the fused figure only feeds the TPU
+        # roofline -- skip its extra compile + 4 full map replays
+        return dict(
+            reads=cstats.total_reads,
+            unique=cstats.unique_counted_kmers,
+            n_variants=len(records),
+            count_s=t_count - t_start,
+            h2d_s=t_h2d - t_count,
+            fused_map_s=-1.0,
+            tally_s=t_tally - t_h2d,
+            pileup_s=t_pileup - t_tally,
+            call_s=t_call - t_pileup,
+            total_s=t_call - t_start,
+            probe_lanes=cstats.unique_counted_kmers * J,
+            scatter_lanes=int(np.asarray(pileup[2:].sum())),
+            sort_lanes=kj.shape[0] * int(dev.keys.shape[0]) + kj.size * J,
+            h2d_bytes=h2d_bytes,
+        )
+
     exact = int(np.asarray(lane_tot)[best])
     budget = _pass2_budget(kj, mcfg, None, exact * 5 // 4 + 1024)
     gcfg = replace(mcfg, total_len=dev.g_total_len,
@@ -357,10 +379,10 @@ def _tpu_scale_sweep(index, dev, cfg, fastq, full_map_s: float) -> dict | None:
             @jax.jit
             def tally_rows(kjr, cjr, krr, hrr, srr):
                 def body(carry, row):
-                    tl, lt = carry
+                    tl, lt, ov = carry
                     km, ct, kch, hch, sch = row
                     q, _, _ = _bucket_q(km, cfg=mcfg)
-                    q_s, ord_s, slot, _ov = _route_group(
+                    q_s, ord_s, slot, ov_r = _route_group(
                         q.reshape(N2l), jnp.repeat(ct > 0, J), bd, D, C)
                     buf = jnp.zeros(D * C, jnp.uint64).at[slot].set(
                         q_s, mode="drop", indices_are_sorted=True)
@@ -374,13 +396,13 @@ def _tpu_scale_sweep(index, dev, cfg, fastq, full_map_s: float) -> dict | None:
                     hits = _hist_hits(h, G)
                     tl = tl + classify_tallies(hits, ct > 0, J)
                     lt = jnp.maximum(lt, hits.sum(axis=0, dtype=jnp.int64))
-                    return (tl, lt), (vals[1], h)
+                    return (tl, lt, ov | ov_r), (vals[1], h)
 
                 init = (jnp.zeros((G, 3), jnp.int32),
-                        jnp.zeros(G, jnp.int64))
-                (tl, lt), (st_all, h_all) = jax.lax.scan(
+                        jnp.zeros(G, jnp.int64), jnp.int32(0))
+                (tl, lt, ov), (st_all, h_all) = jax.lax.scan(
                     body, init, (kjr, cjr, krr, hrr, srr))
-                return tl, lt, st_all, h_all
+                return tl, lt, ov, st_all, h_all
 
             from dataclasses import replace
 
@@ -389,8 +411,11 @@ def _tpu_scale_sweep(index, dev, cfg, fastq, full_map_s: float) -> dict | None:
             best_t = float("inf")
             for rep in range(3):
                 t0 = time.time()
-                tj, lt, st_all, h_all = tally_rows(kjr, cjr, krr, hrr, srr)
+                tj, lt, ov_r, st_all, h_all = tally_rows(
+                    kjr, cjr, krr, hrr, srr)
                 tallies = np.asarray(tj).astype(np.int64)
+                msg = "routed proxy routing budget overflow"
+                assert not int(np.asarray(ov_r)), msg
                 best = pick_best_genome(tallies, dev)
                 # per-ROW exact budget (max over rows), like the routed
                 # engine's lane_totals/D sizing — an inflated budget makes
@@ -533,7 +558,8 @@ def _pipeline_main():
     # the roofline prices the FUSED production path (one dispatch for both
     # passes + device genome selection — what cohort samples 2+ run);
     # tally_s/pileup_s report the exact two-pass split for stage insight
-    map_s = min(r["tally_s"] + r["pileup_s"], r["fused_map_s"])
+    map_s = (min(r["tally_s"] + r["pileup_s"], r["fused_map_s"])
+             if r["fused_map_s"] > 0 else r["tally_s"] + r["pileup_s"])
     # pass 1's payload pickup rides the merge sort itself (no per-query
     # random access anymore); pass 2 pays 4 random accesses per posting
     # lane (posting gather, fold-table gather, depth max, count add)

@@ -244,6 +244,10 @@ class ShardedMapper:
         # away. Built lazily on first non-batchwise sample.
         self._routed: tuple | None = None
         self._routed_post = None       # replicated postings for routed pass 2
+        # routed pass-2 eligibility (mirrors run_pileup's guard): saving
+        # probe artifacts only pays when the fid-grouped posting layout
+        # lets pass 2 consume them
+        self._fid_grouped = bool(dev.fid_grouped) if dev is not None else False
         self._routed_steps: dict = {}  # keyed by (C, save)
         self._routed_pileups: dict = {}  # keyed by (budget, total_len)
         self._saved_probe = None       # (start_all, h_all) from last tally
@@ -343,7 +347,8 @@ class ShardedMapper:
         # the histogram-prefix range derivation relies on; single-word
         # histograms only — the multi-word lens/prefix split is pass-2
         # machinery the routed pileup doesn't replicate)
-        save = self.n_genome == 1 and self.tally_mode == "hist"
+        save = (self.n_genome == 1 and self.tally_mode == "hist"
+                and self._fid_grouped)
         while True:
             step = self._routed_steps.get((C, save))
             if step is None:
@@ -1068,7 +1073,10 @@ def _dispatch_latency_s() -> float:
             np.asarray(f(x))
             _DISPATCH_LAT.append(time.time() - t0)
         except Exception:  # noqa: BLE001
-            _DISPATCH_LAT.append(0.0)
+            # fail CLOSED: a failed probe (transient relay contention)
+            # must not force-enable streaming on the slow-dispatch host
+            # the gate exists for
+            _DISPATCH_LAT.append(1.0)
     return _DISPATCH_LAT[0]
 
 
