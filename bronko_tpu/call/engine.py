@@ -288,8 +288,25 @@ class ShardedMapper:
         every batch, while whole-batch sharding keeps aggregate sort work
         at the single-device total (near-perfect scaling; bit-identical —
         tallies and scatters are order-independent). Single-batch samples
-        fall back to the B-split layout. Pass 2 reshards device-side."""
+        fall back to the B-split layout. Pass 2 reshards device-side.
+
+        B-split lanes are DEINTERLEAVED first: device d gets the strided
+        slice kj[:, d::D], not a contiguous one. The unique-k-mer array is
+        value-sorted and bucket values correlate with k-mer value, so a
+        contiguous slice concentrates its routed queries on a few key
+        chunks — measured 7.7x the equal share at D=16 on the bench
+        sample, blowing the 1.35x routing budget (and the global query
+        spread over chunks is only 1.13x, so strided slices restore it).
+        Every consumer is an order-independent reduction (tally sums,
+        pileup scatter-max/add), so the permutation is output-invariant;
+        pass 2 reuses the SAME placed arrays, keeping saved probe
+        artifacts lane-consistent."""
         self._batchwise = kj.shape[0] % self.n_data == 0 and kj.shape[0] >= self.n_data
+        D = self.n_data
+        if not self._batchwise and D > 1 and kj.shape[1] % D == 0:
+            nb, B = kj.shape
+            kj = kj.reshape(nb, B // D, D).transpose(0, 2, 1).reshape(nb, B)
+            cj = cj.reshape(nb, B // D, D).transpose(0, 2, 1).reshape(nb, B)
         spec = (self._P("data", None) if self._batchwise
                 else self._P(None, "data"))
         return (self._globalize(kj, self.mesh, spec),
