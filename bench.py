@@ -358,7 +358,8 @@ def _tpu_scale_sweep(index, dev, cfg, fastq, full_map_s: float) -> dict | None:
                 pileup_from_saved_jit,
             )
             from bronko_tpu.parallel.pipeline import (
-                _route_group, _unroute, route_split, split_index,
+                _route_group, _route_place, _unroute, route_split,
+                split_index,
             )
 
             s1 = split_index(index, 1)
@@ -387,10 +388,9 @@ def _tpu_scale_sweep(index, dev, cfg, fastq, full_map_s: float) -> dict | None:
                     tl, lt, ov = carry
                     km, ct, kch, hch, sch = row
                     q, _, _ = _bucket_q(km, cfg=mcfg)
-                    q_s, ord_s, slot, ov_r = _route_group(
+                    q_s, ord_s, slot, groups, ov_r = _route_group(
                         q.reshape(N2l), jnp.repeat(ct > 0, J), bd, D, C)
-                    buf = jnp.zeros(D * C, jnp.uint64).at[slot].set(
-                        q_s, mode="drop", indices_are_sorted=True)
+                    buf = _route_place(q_s, groups, D, C)
                     # narrow sort-operand pickup, matching what a REAL
                     # Dx1 device runs (nb=1, no scan); this proxy's
                     # scan+ys shape compiles fine (unlike

@@ -414,21 +414,55 @@ def _route_group(qf, valid, bd, D: int, C: int):
     buffer index (non-decreasing; positions past the C budget clamp into
     the last slot and set overflow — the caller retries with C doubled)."""
     N2l = qf.shape[0]
+    lane = jnp.arange(N2l, dtype=jnp.int32)
     dest = jnp.sum((qf[:, None] >= bd[None, 1:]).astype(jnp.int32), axis=1)
     dest = jnp.where(valid, dest, D)
     # ONE combined sort key: dest-major, original lane minor — groups by
-    # destination AND lets the return trip recover lane order
-    ckey = dest * N2l + jnp.arange(N2l, dtype=jnp.int32)
+    # destination AND lets the return trip recover lane order. The key
+    # packs by SHIFT, not dest*N2l: unpacking a multiply-packed key needs
+    # an integer division. Group starts come from a one-hot count-sum —
+    # jnp.searchsorted(dest_s, arange(D+1)) lowered to D+1 SERIALIZED
+    # scalar binary searches (a ~log2(N2l)-deep dynamic-gather chain) and
+    # was measured as the bulk of a 12.2 ms/row route block at D=16
+    # (tools/bench_routed_ab.py; the whole 164k-lane grouping sort is
+    # ~2 ms) — the count-sum is two vectorized compare-reduces.
+    sh = max((N2l - 1).bit_length(), 1)
+    ckey_dtype = jnp.int32 if (D + 1) << sh <= 0x7FFFFFFF else jnp.int64
+    ckey = ((dest.astype(ckey_dtype) << sh) | lane.astype(ckey_dtype))
     ckey_s, q_s = jax.lax.sort((ckey, qf), num_keys=1, is_stable=False)
-    dest_s = ckey_s // N2l
-    ord_s = ckey_s - dest_s * N2l
-    starts = jnp.searchsorted(
-        dest_s, jnp.arange(D + 1, dtype=jnp.int32)).astype(jnp.int32)
-    cnts = jnp.diff(starts)
-    pos = jnp.arange(N2l, dtype=jnp.int32) - starts[dest_s]
+    dest_s = (ckey_s >> sh).astype(jnp.int32)
+    ord_s = (ckey_s & ((1 << sh) - 1)).astype(jnp.int32)
+    cnts = jnp.sum((dest[:, None] ==
+                    jnp.arange(D, dtype=jnp.int32)[None, :]).astype(
+                        jnp.int32), axis=0)               # (D,) group sizes
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(cnts, dtype=jnp.int32)])  # (D+1,)
+    pos = lane - starts[jnp.minimum(dest_s, D)]
     ov_r = jnp.any(cnts > C).astype(jnp.int32)
     slot = dest_s * C + jnp.minimum(pos, C - 1)       # non-decreasing
-    return q_s, ord_s, slot, ov_r
+    return q_s, ord_s, slot, (starts, cnts), ov_r
+
+
+def _route_place(q_s, groups, D: int, C: int):
+    """(D*C,) routing buffer from the dest-grouped q_s — a MONOTONE GATHER,
+    not a scatter: buf.at[slot].set(q_s) on the u64 queries measured
+    11.7 ms of a 15.8 ms routed tally row at D=16 (~71 ns/lane — 64-bit
+    scatters are pathological on this TPU, tools/bench_routed_ab.py);
+    group d is contiguous at q_s[starts[d]:starts[d]+cnts[d]], so slot
+    d*C+i reads q_s[starts[d]+i], which is non-decreasing in the slot.
+    Empty slots are 0, matching the zeros-init scattered buffer (bucket
+    values are >= 1, so 0 never aliases a real query). Budget-overflow
+    lanes (i >= C) are simply never placed — the scatter clamped them
+    into the last slot instead — but overflow sets ov_r and the caller
+    retries with C doubled, so within-budget results are identical."""
+    starts, cnts = groups
+    i_all = jnp.arange(D * C, dtype=jnp.int32)
+    d_of = i_all // C
+    i_of = i_all - d_of * C
+    gidx = starts[d_of] + jnp.minimum(i_of, cnts[d_of])
+    gidx = jnp.minimum(gidx, q_s.shape[0] - 1)
+    vals = q_s.at[gidx].get(mode="clip", indices_are_sorted=True)
+    return jnp.where(i_of < cnts[d_of], vals, jnp.zeros((), q_s.dtype))
 
 
 def _unroute(backs, slot, ord_s, Bl: int, J: int):
@@ -522,9 +556,9 @@ def make_routed_tally_scan(mesh: Mesh, cfg: MapConfig, mode: str, C: int,
             q, _, _ = _bucket_q(km, cfg=cfg)
             qf = q.reshape(Bl * J)
             valid = jnp.repeat(ct > 0, J)
-            q_s, ord_s, slot, ov_r = _route_group(qf, valid, bd, D, C)
-            buf = jnp.zeros(D * C, jnp.uint64).at[slot].set(
-                q_s, mode="drop", indices_are_sorted=True)
+            q_s, ord_s, slot, groups, ov_r = _route_group(qf, valid, bd,
+                                                          D, C)
+            buf = _route_place(q_s, groups, D, C)
             bufx = jax.lax.all_to_all(buf.reshape(D, C), "data", 0, 0,
                                       tiled=True)
             payloads = (hr, sr) if save else (hr,)

@@ -43,7 +43,7 @@ def main() -> None:
         pileup_from_saved_jit,
     )
     from bronko_tpu.parallel.pipeline import (
-        _route_group, _unroute, route_split, split_index,
+        _route_group, _route_place, _unroute, route_split, split_index,
     )
 
     mcfg = dev.map_config(cfg.n_fixed, cfg.use_full_kmer)
@@ -76,10 +76,9 @@ def main() -> None:
             tl, lt, ov = carry
             km, ct, kch, hch, sch = row
             q, _, _ = _bucket_q(km, cfg=mcfg)
-            q_s, ord_s, slot, ov_r = _route_group(
+            q_s, ord_s, slot, groups, ov_r = _route_group(
                 q.reshape(N2l), jnp.repeat(ct > 0, J), bd, D, C)
-            buf = jnp.zeros(D * C, jnp.uint64).at[slot].set(
-                q_s, mode="drop", indices_are_sorted=True)
+            buf = _route_place(q_s, groups, D, C)
             got = _merge_probe(buf, kch, (hch, sch))
             vals = _unroute(list(got), slot, ord_s, Bl, J)
             h = jnp.where((ct > 0)[:, None], vals[0], 0)
