@@ -421,3 +421,48 @@ def test_place_batches_deinterleaves_bsplit(tmp_path):
     kgm, _ = sm.place_batches(kjm, cjm)
     assert sm._batchwise
     assert np.array_equal(np.asarray(kgm), kjm)
+
+
+def test_route_place_matches_scatter_semantics():
+    """_route_place (monotone gather — the u64 slot scatter measured
+    71 ns/lane on the TPU, tools/bench_routed_ab.py) must reproduce the
+    scattered routing buffer exactly: group d's queries at slots
+    [d*C, d*C+cnt), zeros elsewhere, virtual-chunk (invalid) lanes
+    never placed, within-budget groups unaffected by an overflowing
+    neighbor (the flag covers the retry)."""
+    from bronko_tpu.parallel.pipeline import _route_group, _route_place
+
+    rng = np.random.default_rng(5)
+    D, C = 4, 8
+    N = 64
+    qf = jnp.asarray(rng.integers(1, 1000, N).astype(np.uint64))
+    valid = jnp.asarray(rng.random(N) > 0.2)
+    bd = jnp.asarray(np.array([1, 250, 500, 750], np.uint64))
+
+    q_s, ord_s, slot, groups, ov = _route_group(qf, valid, bd, D, C)
+    buf = np.asarray(_route_place(q_s, groups, D, C))
+
+    # oracle: dest per lane, group-by-dest in lane order
+    qn = np.asarray(qf)
+    vn = np.asarray(valid)
+    dest = (qn[:, None] >= np.asarray(bd)[None, 1:]).sum(axis=1)
+    dest = np.where(vn, dest, D)
+    want = np.zeros(D * C, np.uint64)
+    overflow = False
+    for d in range(D):
+        lanes = qn[dest == d]
+        overflow |= len(lanes) > C
+        want[d * C:d * C + min(len(lanes), C)] = lanes[:C]
+    assert bool(np.asarray(ov)) == overflow
+    if not overflow:
+        assert np.array_equal(buf, want)
+    else:
+        # within-budget groups still placed exactly
+        for d in range(D):
+            lanes = qn[dest == d]
+            if len(lanes) <= C:
+                assert np.array_equal(buf[d * C:d * C + len(lanes)],
+                                      lanes), d
+
+    # ord_s must invert the grouping (restore original lane ids)
+    assert sorted(np.asarray(ord_s).tolist()) == list(range(N))
