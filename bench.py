@@ -368,8 +368,15 @@ def _tpu_scale_sweep(index, dev, cfg, fastq, full_map_s: float) -> dict | None:
             Bl = W // D
             J = len(mcfg.positions)
             N2l = Bl * J
-            C = -(-(N2l * 27 // 20) // D)
-            C = max(128, min(N2l, (C + 127) & ~127))
+            from bronko_tpu.parallel.pipeline import route_budget_exact
+
+            # EXACT quantized budget on the placed layout — the same C
+            # selection the --mesh engine makes (route_budget_exact)
+            kp = np.reshape(np.asarray(kj1), (1, Bl, D)).transpose(
+                0, 2, 1).reshape(1, W)
+            cp = np.reshape(np.asarray(cj1), (1, Bl, D)).transpose(
+                0, 2, 1).reshape(1, W)
+            C = route_budget_exact(kp, cp, mcfg, bounds, D)
             G = dev.num_genomes
             # STRIDED rows (row d = kj1[d::D]), matching the engine's
             # place_batches deinterleave: contiguous slices of the value-

@@ -252,6 +252,8 @@ class ShardedMapper:
         self._routed_pileups: dict = {}  # keyed by (budget, total_len)
         self._saved_probe = None       # (start_all, h_all) from last tally
         self._lane_totals = None
+        self._bounds_np = None         # (S, D) chunk-start keys (host copy)
+        self._placed_np = None         # host copy of the last placed batches
 
     def _routed_arrays(self):
         if self._routed is None and self.n_data > 1 and \
@@ -261,6 +263,7 @@ class ShardedMapper:
             P = self._P
             keys_r, hist_r, starts_r, bounds = route_split(
                 self.sharded, self.n_data)
+            self._bounds_np = np.asarray(bounds)
             self._routed = (
                 self._globalize(keys_r, self.mesh, P("data", "genome", None)),
                 self._globalize(hist_r, self.mesh, P("data", "genome", None)),
@@ -307,6 +310,10 @@ class ShardedMapper:
             nb, B = kj.shape
             kj = kj.reshape(nb, B // D, D).transpose(0, 2, 1).reshape(nb, B)
             cj = cj.reshape(nb, B // D, D).transpose(0, 2, 1).reshape(nb, B)
+        # host copy for the routed layout's EXACT per-(src,dst) budget
+        # (route_budget_exact re-derives dest counts host-side)
+        self._placed_np = ((kj, cj) if not self._batchwise and D > 1
+                           else None)
         spec = (self._P("data", None) if self._batchwise
                 else self._P(None, "data"))
         return (self._globalize(kj, self.mesh, spec),
@@ -354,11 +361,19 @@ class ShardedMapper:
         D = self.n_data
         B = kj.shape[1]
         J = len(self.mcfg.positions)
+        from bronko_tpu.parallel.pipeline import (route_budget,
+                                                  route_budget_exact)
+
         N2l = (B // D) * J
-        # per-(src, dst) routing budget: uniform hashes put ~N2l/D queries
-        # in each chunk; 1.35x slack + the overflow retry covers skew
-        C = -(-(N2l * 27 // 20) // D)
-        C = max(128, min(N2l, (C + 127) & ~127))
+        # per-(src, dst) routing budget: EXACT host-measured max dest
+        # count, quantized into shared-executable classes (guessed slack
+        # cost ~10% of the routed row at D=16); the overflow retry stays
+        # as a host/device-divergence guard only
+        if self._placed_np is not None and self._bounds_np is not None:
+            C = route_budget_exact(self._placed_np[0], self._placed_np[1],
+                                   self.mcfg, self._bounds_np, D)
+        else:
+            C = route_budget(N2l, D)
         # probe artifacts are saved when a Dx1 mesh can feed them straight
         # to the routed pass 2 (needs the fid-grouped posting layout that
         # the histogram-prefix range derivation relies on; single-word

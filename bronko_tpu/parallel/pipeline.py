@@ -35,6 +35,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from bronko_tpu.index.layout import (KEY_SENTINEL, SeqSlice,
                                       fix_sentinel_collision)
 from bronko_tpu.index.model import BronkoIndex
+from bronko_tpu.ops.buckets import assign_buckets
+from bronko_tpu.ops.codec import canonical
 from bronko_tpu.ops.map import (MapConfig, _scan1, classify_tallies,
                                 probe_scatter)
 
@@ -353,6 +355,73 @@ def make_sharded_tally_scan(mesh: Mesh, cfg: MapConfig, mode: str = "flat",
         out_specs=(P(None, None), P(None)),
         check_vma=False,
     ))
+
+
+# Routing-budget slack over the uniform-hash expectation of N2l/D queries
+# per (src, dst) pair. The bucket hash spreads the deinterleaved B-split
+# slices to ~1.13x the equal share on real data (place_batches), and the
+# overflow flag + retry-with-C-doubled makes a trip recoverable, so the
+# slack only prices how often the retry recompiles. Measured on the bench
+# sample (tools/bench_routed_ab.py slack sweep): every D*C-sized part of
+# the routed row (place gather, all_to_all transit, probe lanes, return
+# gathers) scales with it.
+ROUTE_SLACK_NUM = 27
+ROUTE_SLACK_DEN = 20
+
+
+def route_budget(N2l: int, D: int) -> int:
+    """Per-(src, dst) routed lane budget C: slack * N2l / D, rounded up to
+    a 128-lane multiple, floored at 128 and capped at N2l (one destination
+    can receive at most the device's whole query load). Fallback for
+    callers without host access to the placed batches — the engine uses
+    route_budget_exact."""
+    C = -(-(N2l * ROUTE_SLACK_NUM // ROUTE_SLACK_DEN) // D)
+    return max(128, min(N2l, (C + 127) & ~127))
+
+
+def route_budget_exact(kj: np.ndarray, cj: np.ndarray, mcfg, bounds,
+                       D: int, quant: int = 16) -> int:
+    """EXACT per-(src, dst) routed lane budget, measured host-side on the
+    PLACED batches (the numpy arrays place_batches produced) with the same
+    bucket math the device runs (ops/codec.canonical + buckets.assign_
+    buckets are np/jnp polymorphic and golden-anchored, so the host dest
+    counts are bit-exact).
+
+    Guessed slack was the routed layout's residual overhead: every
+    D*C-sized part (place gather, all_to_all transit, probe lanes, return
+    gathers) scales with C, and the 1.35x guess cost ~10% of the routed
+    row at D=16 vs the measured-exact budget (tools/bench_routed_ab.py
+    slack sweep: 12.27 -> 10.97 ms/row). Exact C also cannot overflow —
+    the device-side flag (+retry with C doubled) stays as a guard against
+    host/device divergence only.
+
+    C is quantized UP to ~N2l/D/quant-lane classes (128-multiples) so
+    similar samples share one compiled executable — each distinct C is
+    its own jit cache entry, and a relay compile costs minutes."""
+    nb, B = kj.shape
+    Bl = B // D
+    J = len(mcfg.positions)
+    N2l = Bl * J
+    share = -(-N2l // D)
+    pos = np.asarray(mcfg.positions)
+    bounds = np.asarray(bounds)
+    worst = 0
+    for i in range(nb):
+        canon, _ = canonical(np.asarray(kj[i]), mcfg.k, np)
+        q = assign_buckets(canon, mcfg.k, np)[:, pos]        # (B, J) u64
+        qf = q.reshape(D, Bl * J)
+        v = np.repeat((np.asarray(cj[i]) > 0).reshape(D, Bl), J, axis=1)
+        for s in range(bounds.shape[0]):
+            # dest = #(chunk starts <= q), identical to the device's
+            # sum(qf >= bd[1:]) compare ladder (bounds rows ascend)
+            dest = np.searchsorted(bounds[s, 1:], qf, side="right")
+            key = (np.arange(D)[:, None] * (D + 1)
+                   + np.where(v, dest, D))
+            cnts = np.bincount(key.ravel(), minlength=D * (D + 1))
+            worst = max(worst, int(cnts.reshape(D, D + 1)[:, :D].max()))
+    Q = max(128, (-(-share // quant) + 127) & ~127)
+    C = -(-max(worst, 1) // Q) * Q
+    return max(128, min(N2l, C))
 
 
 def route_split(sharded: ShardedIndex, D: int):

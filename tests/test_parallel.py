@@ -391,7 +391,8 @@ def test_place_batches_deinterleaves_bsplit(tmp_path):
     bd = np.asarray(bounds[0])
     J = len(mcfg.positions)
     N2l = (B // D) * J
-    C_budget = -(-(N2l * 27 // 20) // D)
+    from bronko_tpu.parallel.pipeline import route_budget
+    C_budget = route_budget(N2l, D)
 
     def worst_dest(karr, carr):
         q, _, _ = _bucket_q(jnp.asarray(karr), cfg=mcfg)
@@ -466,3 +467,83 @@ def test_route_place_matches_scatter_semantics():
 
     # ord_s must invert the grouping (restore original lane ids)
     assert sorted(np.asarray(ord_s).tolist()) == list(range(N))
+
+
+def test_route_budget_invariants():
+    """route_budget: 128-multiple, floor 128, cap N2l, and >= the uniform
+    per-destination expectation N2l/D times the slack."""
+    from bronko_tpu.parallel.pipeline import (
+        ROUTE_SLACK_DEN, ROUTE_SLACK_NUM, route_budget,
+    )
+
+    for N2l in (1, 100, 1024, 154973 * 16, 999999):
+        for D in (2, 4, 16, 64):
+            C = route_budget(N2l, D)
+            assert C >= 128
+            assert C <= max(128, N2l)
+            assert C % 128 == 0 or C == N2l
+            want = -(-(N2l * ROUTE_SLACK_NUM // ROUTE_SLACK_DEN) // D)
+            assert C >= min(N2l, want)
+
+
+def test_route_budget_exact_covers_worst_group():
+    """route_budget_exact's C must cover the true per-(src,dst) max dest
+    count (so the device overflow flag can never trip on host-derived
+    budgets), be a 128-multiple-quantized class value, and respect the
+    [128, N2l] clamps."""
+    from bronko_tpu.index.layout import build_device_index
+    from bronko_tpu.ops.buckets import assign_buckets
+    from bronko_tpu.ops.codec import canonical
+    from bronko_tpu.parallel.pipeline import (
+        route_budget_exact, route_split, split_index,
+    )
+    from tests.test_map import make_index, random_genome, sample_kmers
+    import tempfile
+
+    rng = np.random.default_rng(77)
+    k = 21
+    with tempfile.TemporaryDirectory() as td:
+        import pathlib
+        files = [(f"g{f}", [(f"s{f}", random_genome(rng, 400))])
+                 for f in range(3)]
+        index = make_index(pathlib.Path(td), files, k)
+    kmer_counts = sample_kmers(rng, files, k, n_exact=200, n_mut=100,
+                               n_junk=30)
+    dev = build_device_index(index)
+    mcfg = dev.map_config(2, False)
+
+    D = 4
+    sharded = split_index(index, 1)
+    _, _, _, bounds = route_split(sharded, D)
+
+    kmers = np.asarray([kc[0] for kc in kmer_counts], np.uint64)
+    counts = np.asarray([kc[1] for kc in kmer_counts], np.int32)
+    B = (len(kmers) + D - 1) // D * D
+    kb = np.zeros(B, np.uint64); kb[:len(kmers)] = kmers
+    cb = np.zeros(B, np.int32); cb[:len(counts)] = counts
+    kj, cj = kb.reshape(1, B), cb.reshape(1, B)
+
+    C = route_budget_exact(kj, cj, mcfg, bounds, D)
+
+    # oracle: true worst per-(src,dst) count
+    Bl = B // D
+    J = len(mcfg.positions)
+    canon, _ = canonical(kb, k, np)
+    q = assign_buckets(canon, k, np)[:, np.asarray(mcfg.positions)]
+    qf = q.reshape(D, Bl * J)
+    v = np.repeat((cb > 0).reshape(D, Bl), J, axis=1)
+    worst = 0
+    for s in range(bounds.shape[0]):
+        for d in range(D):
+            dest = (qf[d][:, None] >= bounds[s, None, 1:]).sum(axis=1)
+            dest = np.where(v[d], dest, D)
+            for dst in range(D):
+                worst = max(worst, int((dest == dst).sum()))
+
+    N2l = Bl * J
+    assert C >= worst
+    assert 128 <= C <= max(128, N2l)
+    # quantization never inflates by more than one class width
+    share = -(-N2l // D)
+    Q = max(128, (-(-share // 16) + 127) & ~127)
+    assert C - worst < Q or C == 128

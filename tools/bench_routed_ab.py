@@ -10,7 +10,11 @@ Variants:
               the route-block cost)
   slack120  — full row with C at 1.20x instead of 1.35x
 
-Usage: python tools/bench_routed_ab.py [D] [R]
+Usage: python tools/bench_routed_ab.py [D] [R] [mode]
+  mode: 'all' (default — full ablation + slack sweep, ~11 compiles) or
+        'slack' (full-row slack sweep only, ~5 compiles; each compile is
+        minutes through the serving relay, so use this to answer just the
+        budget question)
 """
 import os
 import sys
@@ -26,6 +30,7 @@ import bench  # noqa: E402
 def main() -> None:
     D = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     R = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    mode = sys.argv[3] if len(sys.argv) > 3 else "all"
 
     genome_paths, fastqs = bench._ensure_data()
     fastq = fastqs[0]
@@ -195,21 +200,34 @@ def main() -> None:
         return best_t / (R * D)
 
     C0 = budget_C(27, 20)
-    t_tally = time_variant("tally-only", C0, with_p2=False)
-    t_old = time_variant("oldscatter", C0, with_p2=False,
-                         ablate=("oldscatter",))
-    print(f"  gather-place win ~{(t_old - t_tally) * 1e3:.2f} ms/row",
-          flush=True)
-    for abl in ("scatter", "gather", "dest", "sort"):
-        t = time_variant(f"no-{abl}", C0, with_p2=False, ablate=(abl,))
-        print(f"  {abl} cost ~{(t_tally - t) * 1e3:.2f} ms/row", flush=True)
-    t_p32 = time_variant("place32", C0, with_p2=False, ablate=("place32",))
-    print(f"  u32-pair place win ~{(t_tally - t_p32) * 1e3:.2f} ms/row",
-          flush=True)
-    t_norte = time_variant("noroute", C0, noroute=True, with_p2=False)
-    print(f"route cost   ~{(t_tally - t_norte) * 1e3:.2f} ms/row")
+    if mode == "all":
+        t_tally = time_variant("tally-only", C0, with_p2=False)
+        t_old = time_variant("oldscatter", C0, with_p2=False,
+                             ablate=("oldscatter",))
+        print(f"  gather-place win ~{(t_old - t_tally) * 1e3:.2f} ms/row",
+              flush=True)
+        for abl in ("scatter", "gather", "dest", "sort"):
+            t = time_variant(f"no-{abl}", C0, with_p2=False, ablate=(abl,))
+            print(f"  {abl} cost ~{(t_tally - t) * 1e3:.2f} ms/row",
+                  flush=True)
+        t_p32 = time_variant("place32", C0, with_p2=False,
+                             ablate=("place32",))
+        print(f"  u32-pair place win ~{(t_tally - t_p32) * 1e3:.2f} ms/row",
+              flush=True)
+        t_norte = time_variant("noroute", C0, noroute=True, with_p2=False)
+        print(f"route cost   ~{(t_tally - t_norte) * 1e3:.2f} ms/row")
     t_full = time_variant("full+p2", C0)
     print(f"full row     ~{t_full * 1e3:.2f} ms/row")
+    # slack sweep: the per-(src,dst) budget C scales every D*C-sized part
+    # (place gather, all_to_all transit, probe lanes, return gathers);
+    # overflow=1 marks a slack the bench sample already trips
+    for num, den in ((5, 4), (6, 5), (23, 20), (9, 8), (23, 16)):
+        Cs = budget_C(num, den)
+        if Cs == C0:
+            continue
+        t = time_variant(f"slack{num * 100 // den}", Cs)
+        print(f"  slack {num}/{den} full row {t * 1e3:.2f} ms/row "
+              f"(vs {t_full * 1e3:.2f})", flush=True)
 
 
 if __name__ == "__main__":

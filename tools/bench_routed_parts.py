@@ -73,8 +73,8 @@ def main() -> None:
     Bl = W // D
     J = len(mcfg.positions)
     N2l = Bl * J
-    C = -(-(N2l * 27 // 20) // D)
-    C = max(128, min(N2l, (C + 127) & ~127))
+    from bronko_tpu.parallel.pipeline import route_budget
+    C = route_budget(N2l, D)
     print(f"platform={jax.devices()[0].platform} D={D} Bl={Bl} N2l={N2l} "
           f"C={C} Uc={keys_r.shape[2]} probe_lanes={keys_r.shape[2] + D * C}",
           flush=True)

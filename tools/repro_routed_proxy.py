@@ -60,8 +60,8 @@ def main() -> None:
     Bl = W // D
     J = len(mcfg.positions)
     N2l = Bl * J
-    C = -(-(N2l * 27 // 20) // D)
-    C = max(128, min(N2l, (C + 127) & ~127))
+    from bronko_tpu.parallel.pipeline import route_budget
+    C = route_budget(N2l, D)
     G = dev.num_genomes
     # strided rows (row d = kj1[d::D]) — mirrors place_batches' deinterleave
     kjr = jnp.tile(jnp.reshape(kj1, (Bl, D)).T, (R, 1))
