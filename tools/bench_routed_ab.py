@@ -10,6 +10,12 @@ Variants:
               the route-block cost)
   slack120  — full row with C at 1.20x instead of 1.35x
 
+CAVEAT: this harness hardwires ov_r=0 (it times shapes, not validity),
+so a slack row reporting overflow=0 does NOT prove the budget is safe —
+route_budget_exact measured the bench sample's true worst group at
+11521-12160 lanes at D=16, above the slack112 row's C=11520. Use the
+product's exact budget for correctness; use this tool for timing only.
+
 Usage: python tools/bench_routed_ab.py [D] [R] [mode]
   mode: 'all' (default — full ablation + slack sweep, ~11 compiles) or
         'slack' (full-row slack sweep only, ~5 compiles; each compile is

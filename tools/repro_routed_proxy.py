@@ -60,8 +60,13 @@ def main() -> None:
     Bl = W // D
     J = len(mcfg.positions)
     N2l = Bl * J
-    from bronko_tpu.parallel.pipeline import route_budget
-    C = route_budget(N2l, D)
+    from bronko_tpu.parallel.pipeline import route_budget_exact
+    kp = np.reshape(np.asarray(kj1), (1, Bl, D)).transpose(
+        0, 2, 1).reshape(1, W)
+    cp = np.reshape(np.asarray(cj1), (1, Bl, D)).transpose(
+        0, 2, 1).reshape(1, W)
+    C = route_budget_exact(kp, cp, mcfg, bounds, D)
+    print(f"exact C={C} (uniform share {N2l // D})", flush=True)
     G = dev.num_genomes
     # strided rows (row d = kj1[d::D]) — mirrors place_batches' deinterleave
     kjr = jnp.tile(jnp.reshape(kj1, (Bl, D)).T, (R, 1))
