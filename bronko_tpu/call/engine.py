@@ -735,14 +735,13 @@ def _map_one(
                 post = (dev.postings_local32
                         if dev.postings_local32 is not None
                         else dev.postings)
-                (tj, lane_tot, best_dev, start_all, h_all, pileup,
-                 overflow) = map_fused_jit(
+                (_tj, _lt, _bd, start_all, h_all, pileup,
+                 _ov, meta, p16) = map_fused_jit(
                     kj, cj, dev.keys, dev.offsets, dev.hist, post, tj,
                     dev._glen2_dev, dev._fbases_dev, mcfg, gcfg)
                 return PendingFused(
-                    kj=kj, cj=cj, tj=tj, lane_tot=lane_tot,
-                    best_dev=best_dev, saved=(start_all, h_all),
-                    pileup=pileup, overflow=overflow, mcfg=mcfg,
+                    kj=kj, cj=cj, meta=meta, p16=p16,
+                    saved=(start_all, h_all), pileup=pileup, mcfg=mcfg,
                     n_kmers=kmers.shape[0], cstats=cstats, t_start=t0)
             if dev.hist is not None:
                 tj, lane_tot, start_all, h_all = tally_save_jit(
@@ -826,28 +825,39 @@ class PendingFused:
     returned probe artifacts when the static budget overflowed or the
     device selection disagrees with the host pick (it cannot — the score
     math is bit-identical — but selection parity is an invariant worth a
-    cheap guard, docs/parity_checklist.md)."""
+    cheap guard, docs/parity_checklist.md).
+
+    The resolve worker syncs exactly TWO device arrays: `meta` (packed
+    tallies + lane_totals + best + overflow, one int64 vector — the four
+    separate np.asarray syncs cost a ~35 ms relay round-trip each, the
+    per-sample tax the cohort trace measured) and `p16` (uint16 pileup
+    export, half the D2H bytes; the embedded max guard refetches the
+    int32 `pileup` when a value exceeds uint16)."""
     kj: object
     cj: object
-    tj: object
-    lane_tot: object
-    best_dev: object     # () int32 device argmax
+    meta: object         # (4G+2,) int64 packed scalars (see map_fused_jit)
+    p16: object          # (4, Tg+2, 4) uint16 pileup export
     saved: tuple         # (start_all, h_all) probe artifacts on device
     pileup: object       # (4, Tg+1, 4) int32 device pileup for best_dev
-    overflow: object     # () int32 pass-2 budget overflow flag
     mcfg: object
     n_kmers: int
     cstats: CountStats
     t_start: float
 
     def resolve(self, index: BronkoIndex, dev: DeviceIndex, cfg: CallConfig):
-        tallies = np.asarray(self.tj).astype(np.int64)
-        lane_totals = np.asarray(self.lane_tot)
+        from bronko_tpu.ops.map import pileup_from_u16
+
+        meta = np.asarray(self.meta)
+        G = dev.num_genomes
+        tallies = meta[:G * 3].reshape(G, 3)
+        lane_totals = meta[G * 3:G * 4]
+        best_dev = int(meta[G * 4])
+        overflow = int(meta[G * 4 + 1])
         log.info("Tallied %d kmers in %.2fs (fused)", self.n_kmers,
                  time.time() - self.t_start)
         best, triple = _select_and_log(tallies, index, dev, self.cstats)
         _note_fused_ratio(dev, lane_totals[best], self.n_kmers)
-        if int(np.asarray(self.overflow)) or int(np.asarray(self.best_dev)) != best:
+        if overflow or best_dev != best:
             log.info("fused pass-2 budget overflowed or selection guard "
                      "tripped; re-running pass 2 with the exact budget")
             t1 = time.time()
@@ -856,7 +866,12 @@ class PendingFused:
                 n_kmers=self.n_kmers, exact_lanes=int(lane_totals[best]))
             log.info("Scattered pileup in %.2fs", time.time() - t1)
             return best, pileup, triple
-        return best, self.pileup, triple
+        pl = pileup_from_u16(np.asarray(self.p16))
+        if pl is None:
+            log.info("pileup exceeds uint16 (extreme coverage); refetching "
+                     "the int32 tensor")
+            pl = np.asarray(self.pileup)
+        return best, pl, triple
 
 
 def _select_and_log(tallies: np.ndarray, index: BronkoIndex, dev: DeviceIndex,
@@ -886,6 +901,25 @@ def _select_and_log(tallies: np.ndarray, index: BronkoIndex, dev: DeviceIndex,
     return best, (n_perfect, n_variant, n_unmapped)
 
 
+def _fetch_pileup_host(pileup) -> np.ndarray:
+    """D2H-optimized pileup fetch for device tensors: dispatch the uint16
+    export (async — it pipelines behind whatever produced the pileup) and
+    pull half the bytes through the ~18 MB/s relay; the embedded max
+    guard refetches the int32 tensor when a value exceeds uint16
+    (possible at extreme coverage, KMER_COUNT_CAP=1e6). Covers every
+    resolve path that still returns a device pileup (PendingMap,
+    PendingStream, fused fallback, sharded mesh); PendingFused fetches
+    its own u16 export that rides the fused dispatch itself."""
+    from bronko_tpu.ops.map import pileup_export_u16_jit, pileup_from_u16
+
+    pl = pileup_from_u16(np.asarray(pileup_export_u16_jit(pileup)))
+    if pl is None:
+        log.info("pileup exceeds uint16 (extreme coverage); refetching "
+                 "the int32 tensor")
+        return np.asarray(pileup)
+    return pl
+
+
 def _finish_one(
     display_path: str,
     index: BronkoIndex,
@@ -901,6 +935,8 @@ def _finish_one(
     else:
         best, pileup, tally_triple = result
     n_perfect, n_variant, n_unmapped = tally_triple
+    if not isinstance(pileup, np.ndarray):
+        pileup = _fetch_pileup_host(pileup)
     records, stats, seq_pileups = call_sample_variants(index, dev, cfg, best, pileup)
 
     from bronko_tpu.parallel.distributed import is_primary

@@ -722,6 +722,34 @@ def _pick_best_device(tallies, glen2):
     return jnp.argmax(scores).astype(jnp.int32)
 
 
+def _pileup_export_u16(pileup):
+    """D2H-optimized pileup twin: uint16 halves the ~2 MB int32 transfer
+    through the serving relay (~18 MB/s, docs/design.md), and the extra
+    row T+1 carries the tensor's int32 max split lo/hi so the host can
+    validate the narrow cast with NO extra device sync. KMER_COUNT_CAP is
+    1e6, so depth planes CAN exceed 65535 at extreme coverage — the guard
+    then refetches the int32 tensor (one extra transfer, bit-identical
+    results either way)."""
+    mx = jnp.max(pileup).astype(jnp.uint32)
+    tail = jnp.zeros((4, 1, 4), jnp.uint16)
+    tail = tail.at[0, 0, 0].set((mx & jnp.uint32(0xFFFF)).astype(jnp.uint16))
+    tail = tail.at[0, 0, 1].set((mx >> jnp.uint32(16)).astype(jnp.uint16))
+    return jnp.concatenate([pileup.astype(jnp.uint16), tail], axis=1)
+
+
+pileup_export_u16_jit = jax.jit(_pileup_export_u16)
+
+
+def pileup_from_u16(p16: "np.ndarray"):
+    """Host-side inverse of _pileup_export_u16: returns the int32 pileup
+    when the embedded max fits uint16, else None (caller refetches the
+    int32 tensor)."""
+    mx = int(p16[0, -1, 0]) | (int(p16[0, -1, 1]) << 16)
+    if mx > 0xFFFF:
+        return None
+    return p16[:, :-1].astype(np.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "gcfg"),
                    donate_argnums=(6,))
 def map_fused_jit(kmers, counts, keys, offsets, hist, postings, tallies,
@@ -739,7 +767,11 @@ def map_fused_jit(kmers, counts, keys, offsets, hist, postings, tallies,
     ever dropped, a mis-sized budget only costs the fallback dispatch.
 
     Returns (tallies, lane_totals, best, start_all, h_all, pileup,
-    overflow)."""
+    overflow, meta, p16): `meta` packs tallies + lane_totals + best +
+    overflow into ONE int64 vector so the resolve worker pays a single
+    relay round-trip instead of four (~35 ms each, the cohort trace's
+    per-sample sync tax), and `p16` is the uint16 pileup export
+    (_pileup_export_u16) that halves the D2H bytes."""
     tallies, lane_totals, start_all, h_all = _tally_save_body(
         kmers, counts, keys, offsets, hist, tallies, cfg)
     best = _pick_best_device(tallies, glen2)
@@ -748,7 +780,14 @@ def map_fused_jit(kmers, counts, keys, offsets, hist, postings, tallies,
     pileup, overflow = _pileup_from_saved_body(
         kmers, counts, start_all, h_all, postings, pileup0, best, fbase,
         gcfg)
-    return tallies, lane_totals, best, start_all, h_all, pileup, overflow
+    meta = jnp.concatenate([
+        tallies.astype(jnp.int64).reshape(-1),
+        lane_totals.astype(jnp.int64),
+        best.astype(jnp.int64)[None],
+        overflow.astype(jnp.int64)[None],
+    ])
+    return (tallies, lane_totals, best, start_all, h_all, pileup,
+            overflow, meta, _pileup_export_u16(pileup))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(5,))

@@ -436,3 +436,31 @@ def test_sentinel_key_collision_resolves_to_real_range():
     assert lens[0, 0] == 2 and int(start[0, 0]) == 0   # bucket 5
     assert lens[0, 1] == 4 and int(start[0, 1]) == 3   # sentinel bucket
     assert lens[0, 2] == 0                             # miss -> empty range
+
+
+def test_pileup_u16_export_roundtrip():
+    """_pileup_export_u16 / pileup_from_u16: the uint16 D2H twin must
+    round-trip int32 pileups exactly when every value fits uint16, and
+    the embedded-max guard must reject (return None) when any value
+    exceeds it (KMER_COUNT_CAP=1e6 makes that possible at extreme
+    coverage) — the engine then refetches the int32 tensor."""
+    import jax.numpy as jnp
+
+    from bronko_tpu.ops.map import _pileup_export_u16, pileup_from_u16
+
+    rng = np.random.default_rng(9)
+    pl = rng.integers(0, 65536, size=(4, 50, 4)).astype(np.int32)
+    pl[1, 3, 2] = 65535  # boundary value fits
+    p16 = np.asarray(_pileup_export_u16(jnp.asarray(pl)))
+    assert p16.shape == (4, 51, 4) and p16.dtype == np.uint16
+    back = pileup_from_u16(p16)
+    assert back is not None and back.dtype == np.int32
+    assert np.array_equal(back, pl)
+
+    pl[2, 7, 1] = 65536  # first value past uint16 -> guard trips
+    p16 = np.asarray(_pileup_export_u16(jnp.asarray(pl)))
+    assert pileup_from_u16(p16) is None
+
+    pl[2, 7, 1] = 1_000_000  # cap-scale value
+    p16 = np.asarray(_pileup_export_u16(jnp.asarray(pl)))
+    assert pileup_from_u16(p16) is None

@@ -63,7 +63,7 @@ def main() -> None:
     print(f"warm run: {time.time() - t0:.2f}s", flush=True)
 
     tr = Trace()
-    lg = logging.getLogger("bronko_tpu")
+    lg = logging.getLogger("bronko")
     lg.addHandler(tr)
     lg.setLevel(logging.INFO)
     best = float("inf")
