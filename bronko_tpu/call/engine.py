@@ -344,15 +344,20 @@ class ShardedMapper:
 
     def _routed_wins(self, kj) -> bool:
         """Intra-batch layout crossover, anchored to the real-chip proxy
-        (bench.py routed vs B-split rows: B-split wins at D=4, routed at
-        D=16 on the bench shapes): routed per-device sort lanes are
-        ~(U + alpha*B*J)/D with alpha~2.5 of routing machinery (local
-        dest-sort, buffer transit, return unsort, 1.35x budget slack) vs
-        the B-split's U + B*J/D fixed key re-sort — routed wins once the
-        replicated-key term dominates: (D-1)*U > 1.5*B*J."""
+        (bench.py routed vs B-split rows, re-measured with the exact
+        routing budget 2026-08-19): routed won at BOTH D=4 (59.9 vs
+        74.3 ms/row) and D=16 (12.1 vs 35.2) on the bench shapes
+        (U=155k keys, N2=2.5M query lanes) — the B-split's per-device
+        U-key re-sort costs U*(D-1)/D extra lanes while routed's
+        machinery (grouping sort, place gather, return unsort) rides
+        1/D terms. B-split should only win when the replicated-U term
+        is small relative to the per-device query load (tiny panels or
+        D=2): routed once (D-1)*U > 0.15*N2 — the bench D=4 point
+        (3*155k = 465k vs 372k) sits just inside routed, matching the
+        measurement."""
         U = int(self.sharded.keys.shape[1])
         N2 = int(kj.shape[1]) * len(self.mcfg.positions)
-        return (self.n_data - 1) * U * 2 > 3 * N2
+        return (self.n_data - 1) * U * 20 > 3 * N2
 
     def _run_tallies_routed(self, kj, cj) -> np.ndarray:
         from bronko_tpu.parallel.pipeline import make_routed_tally_scan
