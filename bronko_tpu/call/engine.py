@@ -755,7 +755,7 @@ def _map_one(
                 tj, lane_tot, start_all, h_all = tally_save_words_jit(
                     kj, cj, dev.keys, dev.offsets, dev.hist_words, tj, mcfg)
             return PendingMap(
-                kj=kj, cj=cj, tj=tj, lane_tot=lane_tot,
+                kj=kj, cj=cj, meta=_pack_meta_jit(tj, lane_tot),
                 saved=(start_all, h_all), mcfg=mcfg,
                 n_kmers=kmers.shape[0], cstats=cstats, t_start=t0)
         elif sharded is not None:
@@ -782,14 +782,23 @@ def _map_one(
     return best, pileup, triple
 
 
+@jax.jit
+def _pack_meta_jit(tj, lane_tot):
+    """Pack the pass-1 scalars (tallies (G,3) + exact lane totals (G,))
+    into ONE int64 vector: the resolve worker then pays a single relay
+    round-trip instead of two (~35 ms each). The extra dispatch is tiny
+    and asynchronous — it pipelines behind pass 1 itself."""
+    return jnp.concatenate([tj.astype(jnp.int64).reshape(-1),
+                            lane_tot.astype(jnp.int64)])
+
+
 @dataclass
 class PendingMap:
     """Fast-path device handles: pass 1 dispatched, everything else deferred
     to the worker thread (resolve())."""
     kj: object
     cj: object
-    tj: object          # (G, 3) int32 device tallies
-    lane_tot: object    # (G,) int64 device exact pass-2 lane loads
+    meta: object        # (4G,) int64 packed tallies + exact lane totals
     saved: tuple        # (start_all, h_all) probe artifacts on device
     mcfg: object
     n_kmers: int
@@ -797,11 +806,13 @@ class PendingMap:
     t_start: float
 
     def resolve(self, index: BronkoIndex, dev: DeviceIndex, cfg: CallConfig):
-        """Sync pass 1, select the genome, dispatch pass 2 (exact budget).
-        Runs on the _finish_one worker while the main loop dispatches the
-        NEXT sample's pass 1."""
-        tallies = np.asarray(self.tj).astype(np.int64)
-        lane_totals = np.asarray(self.lane_tot)
+        """Sync pass 1 (ONE packed device array), select the genome,
+        dispatch pass 2 (exact budget). Runs on the _finish_one worker
+        while the main loop dispatches the NEXT sample's pass 1."""
+        meta = np.asarray(self.meta)
+        G = dev.num_genomes
+        tallies = meta[:G * 3].reshape(G, 3)
+        lane_totals = meta[G * 3:G * 4]
         log.info("Tallied %d kmers in %.2fs", self.n_kmers,
                  time.time() - self.t_start)
         best, triple = _select_and_log(tallies, index, dev, self.cstats)
