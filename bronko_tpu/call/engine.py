@@ -254,16 +254,29 @@ class ShardedMapper:
         self._lane_totals = None
         self._bounds_np = None         # (S, D) chunk-start keys (host copy)
         self._placed_np = None         # host copy of the last placed batches
+        self._route_np = None          # host route_split outputs (cached)
+        import threading
+        self._route_lock = threading.Lock()
+        self._budget_job = None        # (thread, box) for the exact budget
+
+    def _route_split_np(self):
+        """Host-side route_split outputs, cached — the index is static per
+        run, so the chunking and its (S, D) bounds are computed once. Safe
+        from the budget worker thread (ADVICE r4: route_budget_exact used
+        to run on the dispatch critical path of every routed sample)."""
+        with self._route_lock:
+            if self._route_np is None:
+                from bronko_tpu.parallel.pipeline import route_split
+
+                self._route_np = route_split(self.sharded, self.n_data)
+                self._bounds_np = np.asarray(self._route_np[3])
+        return self._route_np
 
     def _routed_arrays(self):
         if self._routed is None and self.n_data > 1 and \
                 self.tally_mode in ("hist", "words"):
-            from bronko_tpu.parallel.pipeline import route_split
-
             P = self._P
-            keys_r, hist_r, starts_r, bounds = route_split(
-                self.sharded, self.n_data)
-            self._bounds_np = np.asarray(bounds)
+            keys_r, hist_r, starts_r, bounds = self._route_split_np()
             self._routed = (
                 self._globalize(keys_r, self.mesh, P("data", "genome", None)),
                 self._globalize(hist_r, self.mesh, P("data", "genome", None)),
@@ -314,6 +327,38 @@ class ShardedMapper:
         # (route_budget_exact re-derives dest counts host-side)
         self._placed_np = ((kj, cj) if not self._batchwise and D > 1
                            else None)
+        # overlap the exact-budget host scan (canonical + buckets +
+        # searchsorted over every placed lane, scales with nb*B*J*S) with
+        # the upload + routed-array build instead of blocking dispatch in
+        # _run_tallies_routed (ADVICE r4). Skipped under Pallas: the
+        # device then computes destinations via the Mosaic kernel while
+        # the host uses the np closed form, and exactness isn't guaranteed
+        # across that pair — route_budget's slack is the safe budget.
+        self._budget_job = None
+        if (self._placed_np is not None
+                and self.tally_mode in ("hist", "words")
+                and not getattr(self.mcfg, "use_pallas", False)
+                and self._routed_wins(kj)):
+            import threading
+
+            from bronko_tpu.parallel.pipeline import route_budget_exact
+
+            box: dict = {}
+            kj_np, cj_np = self._placed_np
+
+            def _work():
+                try:
+                    self._route_split_np()
+                    box["C"] = route_budget_exact(
+                        kj_np, cj_np, self.mcfg, self._bounds_np,
+                        self.n_data)
+                except Exception as e:     # pragma: no cover - diagnostic
+                    box["err"] = e
+
+            t = threading.Thread(target=_work, daemon=True,
+                                 name="route-budget")
+            t.start()
+            self._budget_job = (t, box)
         spec = (self._P("data", None) if self._batchwise
                 else self._P(None, "data"))
         return (self._globalize(kj, self.mesh, spec),
@@ -354,7 +399,14 @@ class ShardedMapper:
         is small relative to the per-device query load (tiny panels or
         D=2): routed once (D-1)*U > 0.15*N2 — the bench D=4 point
         (3*155k = 465k vs 372k) sits just inside routed, matching the
-        measurement."""
+        measurement.
+
+        CAVEAT (ADVICE r4): the 0.15 constant is TWO-POINT-calibrated
+        (D=4, D=16, one bench shape); shapes between/outside those
+        points (D=2, tiny panels, very large B) rely on extrapolation.
+        Perf-only risk — both layouts are bit-identical. bench.py's
+        shard proxy sweep includes D=2/D=8 rows to anchor the low end
+        as future epochs are measured."""
         U = int(self.sharded.keys.shape[1])
         N2 = int(kj.shape[1]) * len(self.mcfg.positions)
         return (self.n_data - 1) * U * 20 > 3 * N2
@@ -373,12 +425,29 @@ class ShardedMapper:
         # per-(src, dst) routing budget: EXACT host-measured max dest
         # count, quantized into shared-executable classes (guessed slack
         # cost ~10% of the routed row at D=16); the overflow retry stays
-        # as a host/device-divergence guard only
-        if self._placed_np is not None and self._bounds_np is not None:
-            C = route_budget_exact(self._placed_np[0], self._placed_np[1],
-                                   self.mcfg, self._bounds_np, D)
-        else:
-            C = route_budget(N2l, D)
+        # as a host/device-divergence guard only. Usually precomputed on
+        # the place_batches worker thread so the host scan overlaps the
+        # batch upload instead of blocking this dispatch.
+        C = None
+        if self._budget_job is not None:
+            t, box = self._budget_job
+            self._budget_job = None
+            t.join()
+            C = box.get("C")
+            if "err" in box:
+                log.warning("route-budget worker failed (%s); recomputing",
+                            box["err"])
+        if C is None:
+            if (self._placed_np is not None and self._bounds_np is not None
+                    and not getattr(self.mcfg, "use_pallas", False)):
+                C = route_budget_exact(self._placed_np[0],
+                                       self._placed_np[1],
+                                       self.mcfg, self._bounds_np, D)
+            else:
+                # Pallas dest path isn't golden-anchored against the np
+                # closed form — slack budget avoids a divergence-triggered
+                # doubled-C recompile (minutes through the relay)
+                C = route_budget(N2l, D)
         # probe artifacts are saved when a Dx1 mesh can feed them straight
         # to the routed pass 2 (needs the fid-grouped posting layout that
         # the histogram-prefix range derivation relies on; single-word

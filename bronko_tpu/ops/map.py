@@ -729,11 +729,21 @@ def _pileup_export_u16(pileup):
     validate the narrow cast with NO extra device sync. KMER_COUNT_CAP is
     1e6, so depth planes CAN exceed 65535 at extreme coverage — the guard
     then refetches the int32 tensor (one extra transfer, bit-identical
-    results either way)."""
+    results either way).
+
+    The tail also embeds the tensor's MIN (bitcast lo/hi at [0,0,2:4]):
+    today's planes are provably non-negative (scatter-max of counts and
+    +1 adds from zeros), but a future signed plane would wrap into uint16
+    while the max-only guard still passed — the min guard makes
+    pileup_from_u16 reject any negative value instead."""
     mx = jnp.max(pileup).astype(jnp.uint32)
+    mn = jax.lax.bitcast_convert_type(jnp.min(pileup).astype(jnp.int32),
+                                      jnp.uint32)
     tail = jnp.zeros((4, 1, 4), jnp.uint16)
     tail = tail.at[0, 0, 0].set((mx & jnp.uint32(0xFFFF)).astype(jnp.uint16))
     tail = tail.at[0, 0, 1].set((mx >> jnp.uint32(16)).astype(jnp.uint16))
+    tail = tail.at[0, 0, 2].set((mn & jnp.uint32(0xFFFF)).astype(jnp.uint16))
+    tail = tail.at[0, 0, 3].set((mn >> jnp.uint32(16)).astype(jnp.uint16))
     return jnp.concatenate([pileup.astype(jnp.uint16), tail], axis=1)
 
 
@@ -742,10 +752,11 @@ pileup_export_u16_jit = jax.jit(_pileup_export_u16)
 
 def pileup_from_u16(p16: "np.ndarray"):
     """Host-side inverse of _pileup_export_u16: returns the int32 pileup
-    when the embedded max fits uint16, else None (caller refetches the
-    int32 tensor)."""
+    when the embedded max fits uint16 AND the embedded min is
+    non-negative, else None (caller refetches the int32 tensor)."""
     mx = int(p16[0, -1, 0]) | (int(p16[0, -1, 1]) << 16)
-    if mx > 0xFFFF:
+    mn = np.uint32(int(p16[0, -1, 2]) | (int(p16[0, -1, 3]) << 16))
+    if mx > 0xFFFF or int(mn.view(np.int32)) < 0:
         return None
     return p16[:, :-1].astype(np.int32)
 

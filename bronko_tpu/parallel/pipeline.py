@@ -391,9 +391,14 @@ def route_budget_exact(kj: np.ndarray, cj: np.ndarray, mcfg, bounds,
     D*C-sized part (place gather, all_to_all transit, probe lanes, return
     gathers) scales with C, and the 1.35x guess cost ~10% of the routed
     row at D=16 vs the measured-exact budget (tools/bench_routed_ab.py
-    slack sweep: 12.27 -> 10.97 ms/row). Exact C also cannot overflow —
+    slack sweep: 12.27 -> 10.97 ms/row). Exact C cannot overflow ONLY
+    when the device derives destinations through the XLA _bucket_q path
+    (np/jnp polymorphic closed forms, golden-anchored); under
+    BRONKO_PALLAS=1 the device uses the Mosaic bucket kernel instead,
+    which is NOT anchored against this host scan — the engine therefore
+    falls back to route_budget's slack when mcfg.use_pallas is set, and
     the device-side flag (+retry with C doubled) stays as a guard against
-    host/device divergence only.
+    host/device divergence on the XLA path too.
 
     C is quantized UP to ~N2l/D/quant-lane classes (128-multiples) so
     similar samples share one compiled executable — each distinct C is

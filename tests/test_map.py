@@ -464,3 +464,10 @@ def test_pileup_u16_export_roundtrip():
     pl[2, 7, 1] = 1_000_000  # cap-scale value
     p16 = np.asarray(_pileup_export_u16(jnp.asarray(pl)))
     assert pileup_from_u16(p16) is None
+
+    # negative values would wrap into uint16 with max alone looking fine;
+    # the embedded-min guard must reject them (no signed plane exists
+    # today — this pins the contract for any future one)
+    pl[2, 7, 1] = -1
+    p16 = np.asarray(_pileup_export_u16(jnp.asarray(pl)))
+    assert pileup_from_u16(p16) is None
