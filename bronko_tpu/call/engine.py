@@ -249,6 +249,10 @@ class ShardedMapper:
         # lets pass 2 consume them
         self._fid_grouped = bool(dev.fid_grouped) if dev is not None else False
         self._routed_steps: dict = {}  # keyed by (C, save)
+        # names of intra-batch layouts this mapper actually ran
+        # ("batchwise" / "bsplit" / "routed") — driver-visible evidence
+        # for dryrun_multichip (VERDICT r4 item 4)
+        self.layouts_used: set = set()
         self._routed_pileups: dict = {}  # keyed by (budget, total_len)
         self._saved_probe = None       # (start_all, h_all) from last tally
         self._lane_totals = None
@@ -376,7 +380,9 @@ class ShardedMapper:
                 and self.tally_mode in ("hist", "words")
                 and self._routed_wins(kj)
                 and self._routed_arrays() is not None):
+            self.layouts_used.add("routed")
             return self._run_tallies_routed(kj, cj)
+        self.layouts_used.add("batchwise" if self._batchwise else "bsplit")
         while True:
             tl, ov = self._tally_step(self._batchwise)(
                 kj, cj, self.keys, self.offsets, self.postings, self.hist)
@@ -1311,6 +1317,13 @@ def _count_job(paths: list[str], cfg: CallConfig, k: int,
     return kmers, counts, cstats, batches
 
 
+# intra-batch layouts the most recent --mesh run_call exercised
+# ("batchwise" / "bsplit" / "routed"); plain strings only so nothing
+# device-resident is retained. Consumed by __graft_entry__.dryrun_multichip
+# to name the layouts in the driver-visible tail.
+LAST_MESH_LAYOUTS: frozenset = frozenset()
+
+
 def run_call(cfg: CallConfig, index: BronkoIndex, dev: DeviceIndex) -> list[SampleSummary]:
     """Per-sample pipeline driver; wraps the body so an open profiler
     trace is flushed even when the run fails (the failing run is exactly
@@ -1636,6 +1649,12 @@ def _run_call_inner(cfg: CallConfig, index: BronkoIndex,
         log.info("Building alignment(s)")
         if is_primary():
             write_alignments(cfg.output, summaries, variant_info, index.files, log)
+
+    if sharded is not None and sharded.layouts_used:
+        global LAST_MESH_LAYOUTS
+        LAST_MESH_LAYOUTS = frozenset(sharded.layouts_used)
+        log.info("mesh layouts used this run: %s",
+                 "+".join(sorted(sharded.layouts_used)))
 
     log.info("bronko complete!")
     return summaries
