@@ -527,3 +527,111 @@ def test_engine_equals_composed_oracle_extra(tmp_path, seed, n_g, glen,
                                              depth, err, n_maj, n_min, src):
     test_engine_equals_composed_oracle(tmp_path, seed, n_g, glen, depth,
                                        err, n_maj, n_min, src)
+
+
+def _mesh_engine_vcf_lines(tmp_path, fasta_paths, fq, tag, expect_layout,
+                           **cfg_kw):
+    """Run the engine with --mesh and return (data lines, selected name),
+    asserting the intended intra-batch layout actually engaged
+    (engine.LAST_MESH_LAYOUTS)."""
+    import bronko_tpu.call.engine as eng
+
+    out = str(tmp_path / f"out_{tag}")
+    cfg = CallConfig(genomes=list(fasta_paths), reads=[fq], output=out,
+                     chunk_reads=8192, **cfg_kw)
+    index = build_index(cfg.kmer, list(fasta_paths))
+    run_call(cfg, index, build_device_index(index))
+    assert expect_layout in eng.LAST_MESH_LAYOUTS, (
+        f"{tag}: wanted layout {expect_layout}, engine took "
+        f"{set(eng.LAST_MESH_LAYOUTS)}")
+    vcf = [f for f in os.listdir(out) if f.endswith(".vcf")]
+    assert len(vcf) == 1
+    with open(os.path.join(out, vcf[0])) as fh:
+        lines = [ln.rstrip("\n") for ln in fh if not ln.startswith("#")]
+    with open(os.path.join(out, "bronko_overview.tsv")) as fh:
+        fh.readline()
+        selected = fh.readline().split("\t")[1]
+    return lines, selected
+
+
+@pytest.mark.parametrize("tag,mesh,batch,expect_layout", [
+    # single-batch panel big enough that (D-1)*U*20 > 3*N2 -> ROUTED
+    # (the production single-batch layout: key table range-partitioned
+    # over 'data', queries travel via all_to_all)
+    ("mesh_routed", "4x2", 4096, "routed"),
+    # small batches force nb >= n_data (nb rounds to a power of two,
+    # engine.py batching) -> whole-batch BATCHWISE sharding
+    ("mesh_batchwise", "8x1", 256, "batchwise"),
+])
+def test_engine_equals_oracle_mesh_layouts(tmp_path, tag, mesh, batch,
+                                           expect_layout):
+    """VERDICT r4 item 6: the e2e oracle composition run through the
+    --mesh engine on the 8-device CPU mesh, per intra-batch layout. The
+    mesh engine's VCF must byte-equal the composed scalar oracle (not
+    just the single-device engine), and the test asserts which layout
+    ran so the routed path is oracle-covered by construction."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(77)
+    k = 21
+    files = []
+    fasta_paths = []
+    for g in range(3):
+        seq = make_genome(rng, 500 + 40 * g)
+        p = str(tmp_path / f"ml{g}.fasta")
+        write_fasta(p, f"seq{g}", seq)
+        fasta_paths.append(p)
+        files.append((f"ml{g}", [(f"seq{g}", seq)]))
+    genome = files[1][1][0][1]
+    L = len(genome)
+    majors = {int(q): 0.9 for q in rng.integers(50, L - 50, 2)}
+    minors = {int(rng.integers(50, L - 50)): 0.22}
+    reads, _ = make_sample(genome, rng, read_len=100, depth=340,
+                           major_positions=majors, minor_positions=minors,
+                           error_rate=0.004)
+    fq = str(tmp_path / "ml.fastq.gz")
+    write_fastq(fq, reads)
+
+    kmer_counts = _count_oracle(reads, k)
+    want_lines, want_name = _oracle_vcf_lines(files, kmer_counts, k)
+
+    got_lines, got_name = _mesh_engine_vcf_lines(
+        tmp_path, fasta_paths, fq, tag, expect_layout,
+        mesh=mesh, batch_size=batch)
+    assert got_name == want_name
+    assert got_lines == want_lines
+    assert len(got_lines) >= 1
+
+
+def test_engine_equals_oracle_mesh_bsplit(tmp_path):
+    """The B-SPLIT layout (tiny panel: (D-1)*U*20 <= 3*N2 flips the
+    routed crossover) through the oracle composition — the third and
+    last production intra-batch layout, oracle-checked."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(88)
+    k = 21
+    seq = make_genome(rng, 120)
+    p = str(tmp_path / "bs.fasta")
+    write_fasta(p, "bsq", seq)
+    files = [("bs", [("bsq", seq)])]
+    majors = {60: 0.9}
+    reads, _ = make_sample(seq, rng, read_len=60, depth=300,
+                           major_positions=majors, minor_positions={},
+                           error_rate=0.002)
+    fq = str(tmp_path / "bs.fastq.gz")
+    write_fastq(fq, reads)
+
+    kmer_counts = _count_oracle(reads, k)
+    want_lines, want_name = _oracle_vcf_lines(files, kmer_counts, k)
+
+    got_lines, got_name = _mesh_engine_vcf_lines(
+        tmp_path, [p], fq, "mesh_bsplit", "bsplit",
+        mesh="8x1", batch_size=8192)
+    assert got_name == want_name
+    assert got_lines == want_lines
+    assert len(got_lines) >= 1
