@@ -1239,17 +1239,82 @@ def _dispatch_latency_s() -> float:
     return _DISPATCH_LAT[0]
 
 
+_STREAM_CALIB_PATH = os.path.join(
+    os.path.expanduser("~"), ".cache", "bronko_jax", "stream_calib.json")
+
+
+def _load_stream_calib() -> dict | None:
+    """Per-host outcome calibration for the stream gate: measured
+    classic vs streamed single-sample wall times keyed by platform
+    (written by bench.py / tools/ab_single_tpu.py interleaved A/Bs).
+    Returns this platform's entry or None."""
+    import json
+
+    try:
+        with open(_STREAM_CALIB_PATH) as fh:
+            d = json.load(fh)
+        e = d.get(jax.default_backend())
+        if (isinstance(e, dict) and float(e["classic_s"]) > 0
+                and float(e["streamed_s"]) > 0
+                and float(e["dispatch_s"]) >= 0):
+            return e
+    except Exception:  # noqa: BLE001 - absent/corrupt file = no calib
+        pass
+    return None
+
+
+def save_stream_calibration(classic_s: float, streamed_s: float) -> dict:
+    """Record a measured classic-vs-streamed single-sample A/B for this
+    platform (merged per-platform so a CPU host-baseline subprocess
+    can't clobber the TPU entry). The gate trusts the entry only while
+    the live dispatch-latency probe stays within ~2.5x of the recorded
+    one — the latency is the observable that tracks relay epochs."""
+    import json
+
+    entry = {
+        "classic_s": round(float(classic_s), 4),
+        "streamed_s": round(float(streamed_s), 4),
+        "dispatch_s": round(_dispatch_latency_s(), 5),
+        "ts": time.time(),
+    }
+    try:
+        os.makedirs(os.path.dirname(_STREAM_CALIB_PATH), exist_ok=True)
+        try:
+            with open(_STREAM_CALIB_PATH) as fh:
+                d = json.load(fh)
+            if not isinstance(d, dict):
+                d = {}
+        except Exception:  # noqa: BLE001
+            d = {}
+        d[jax.default_backend()] = entry
+        tmp = _STREAM_CALIB_PATH + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(d, fh)
+        os.replace(tmp, _STREAM_CALIB_PATH)
+    except Exception as e:  # noqa: BLE001 - read-only home dirs etc.
+        log.warning("could not persist stream calibration: %s", e)
+    return entry
+
+
 def _can_stream(cfg: CallConfig, dev: DeviceIndex, sharded,
                 explicit: bool = False) -> bool:
     """Streaming pays when there is no cross-sample prefetch to hide the
     host count anyway (single job), the probe-reuse fast path applies,
-    no full k-mer dump is requested, AND dispatch is cheap: with the
-    fused map the classic path measures 0.70-0.77 s vs streamed
-    0.75-0.96 s through the ~35 ms-dispatch relay (bench.py 2026-08-19)
-    — the per-partition dispatches now cost more than the count they
-    hide. BRONKO_STREAM=1 forces on (directly-attached hosts),
-    BRONKO_NO_STREAM/BRONKO_STREAM=0 force off, unset = auto by the
-    measured dispatch latency."""
+    no full k-mer dump is requested, AND the path measures faster:
+
+    1. BRONKO_STREAM / BRONKO_NO_STREAM force the decision (A/Bs,
+       directly-attached hosts);
+    2. else an OUTCOME calibration (save_stream_calibration: interleaved
+       measured wall times for both paths, written by bench.py) decides
+       — valid while the live dispatch-latency probe stays within ~2.5x
+       of the calibration's, i.e. the same relay epoch class (VERDICT
+       r4 item 2: the latency proxy alone picked the slower path in an
+       epoch where streamed measured 0.530 vs classic 0.649 s);
+    3. else the dispatch-latency proxy (<4 ms streams): per-partition
+       dispatches only pay when dispatch is cheap (classic 0.70-0.77 s
+       vs streamed 0.75-0.96 s through the ~35 ms relay, 2026-08-19).
+
+    The decision and its source are logged either way."""
     if sharded is not None or cfg.keep_kmer_counts or cfg.counter == "device":
         return False
     if _env_flag("BRONKO_NO_STREAM"):  # debug/A-B override
@@ -1271,7 +1336,29 @@ def _can_stream(cfg: CallConfig, dev: DeviceIndex, sharded,
         # bypasses the latency auto-gate — it exists for A/Bs and
         # directly-attached hosts
         return True
-    return _dispatch_latency_s() < 0.004
+    lat = _dispatch_latency_s()
+    calib = _load_stream_calib()
+    if calib is not None:
+        d0 = float(calib["dispatch_s"])
+        # same epoch class: both sub-4ms (directly-attached; exact ratio
+        # is jitter there), or latencies within ~2.5x of each other
+        same_epoch = ((d0 < 0.004 and lat < 0.004)
+                      or (d0 > 0 and lat > 0 and 0.4 <= d0 / lat <= 2.5))
+        if same_epoch:
+            win = float(calib["streamed_s"]) < float(calib["classic_s"])
+            log.info(
+                "stream gate: calibrated -> %s (classic %.3fs vs streamed "
+                "%.3fs; dispatch now %.1f ms, calibrated at %.1f ms)",
+                "streamed" if win else "classic", calib["classic_s"],
+                calib["streamed_s"], lat * 1e3, d0 * 1e3)
+            return win
+        log.info("stream gate: calibration stale (dispatch %.1f ms vs "
+                 "calibrated %.1f ms); falling back to latency proxy",
+                 lat * 1e3, d0 * 1e3)
+    decision = lat < 0.004
+    log.info("stream gate: latency proxy -> %s (dispatch %.1f ms)",
+             "streamed" if decision else "classic", lat * 1e3)
+    return decision
 
 
 def _count_job(paths: list[str], cfg: CallConfig, k: int,
