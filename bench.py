@@ -226,6 +226,10 @@ def _single_sample_run(index, dev, cfg, fastq):
         # per scanned batch the merge probe sorts (U keys + B*J queries)
         sort_lanes=kj.shape[0] * int(dev.keys.shape[0]) + kj.size * J,
         h2d_bytes=h2d_bytes,
+        # live device handles for the per-op ledger (_roofline_ledger);
+        # popped before serialization
+        _handles=dict(kj=kj, cj=cj, mcfg=mcfg, gcfg=gcfg, best=best,
+                      saved=(ii_all, h_all), exact=exact),
     )
 
 
@@ -272,6 +276,301 @@ def _measure_ceilings(sort_lanes: int, gather_lanes: int) -> tuple[float, float,
         print(f"# ceiling measurement failed ({e!r}); using fallback constants",
               file=sys.stderr)
         return SORT_NS_PER_LANE, GATHER_NS_PER_LANE, False
+
+
+def _roofline_ledger(dev, handles, fused_map_s: float, gather_ns: float,
+                     budget_s: float = 900.0) -> dict | None:
+    """Per-op ledger of the fused map's device time (VERDICT r4 item 1:
+    two rounds flat at ~67% roofline — account for the residual op by op
+    or prove each component at its measured ceiling).
+
+    Method: CUMULATIVE composition (tools/bench_stages3_tpu.py's
+    methodology — isolated pieces each pay their own ~35 ms relay
+    dispatch and don't sum to the anchor): stage i's jit performs stages
+    0..i of the REAL pass bodies (ops/map.py _tally_save_body /
+    _pileup_from_saved_body inlined op-for-op) and reduces everything
+    produced so far (so XLA cannot dead-code-eliminate prior stages);
+    consecutive deltas attribute wall time to single ops even under
+    relay-latency drift. Each delta is then priced against an
+    op-appropriate MEASURED ceiling:
+
+      * sorts: a pure lax.sort of the same operand tuple at the same
+        lane count (compiled alone);
+      * random gathers/scatters: lanes x the session gather ceiling;
+      * scan ops (cumsum/cummax): a pure cummax at the same lanes;
+      * elementwise stages: estimated HBM bytes / measured stream BW.
+
+    x = measured_delta / floor; ~1.0 means at-ceiling, the biggest x is
+    the next optimization target. Ledger entries are ms per fused-map
+    dispatch (nb=1 bench shape)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bronko_tpu.ops.map import (
+        _bucket_q, _expand_lanes, _fold_pc, _hist_hits, _saved_lens_prefix,
+        classify_tallies,
+    )
+
+    t_ledger0 = time.time()
+    km = handles["kj"][0]
+    ct = handles["cj"][0]
+    mcfg, gcfg = handles["mcfg"], handles["gcfg"]
+    best = int(handles["best"])
+    start_d, h_d = handles["saved"]
+    start0, h0 = start_d[0], h_d[0]
+    keys, hist, offsets = dev.keys, dev.hist, dev.offsets
+    post = (dev.postings_local32 if dev.postings_local32 is not None
+            else dev.postings)
+    B = int(km.shape[0])
+    J = len(mcfg.positions)
+    U = int(keys.shape[0])
+    N2 = B * J
+    LB = int(gcfg.lane_budget)
+    G = mcfg.num_genomes
+    T = int(gcfg.total_len)
+    fbase = jnp.int32(int(dev.file_bases[best]))
+    best_j = jnp.int32(best)
+    k = mcfg.k
+
+    def timed(fn, args, reps=3):
+        f = jax.jit(fn)
+        ts = []
+        for _ in range(reps + 1):   # lap 0 compiles
+            t0 = time.time()
+            r = f(*args)
+            np.asarray(r)           # forced transfer (relay under-reports)
+            ts.append(time.time() - t0)
+        return min(ts[1:])
+
+    # ---------- pass 1: probe + histogram tally (sortops narrow path) ----
+    def p1(stage):
+        def fn(km, ct, keys, hist, offsets):
+            q, _canon, _isrc = _bucket_q(km, cfg=mcfg)
+            if stage == 0:                       # bucket_q
+                return q.astype(jnp.uint32).sum()
+            Bq = q.size
+            xs = jnp.concatenate([keys, q.reshape(Bq)])
+            ot = jnp.concatenate(
+                [jnp.arange(U, dtype=jnp.int32) - jnp.int32(U),
+                 1 + jnp.arange(Bq, dtype=jnp.int32)])
+            kcols = []
+            for p in (hist, offsets[:U]):
+                if p.dtype.itemsize == 8:
+                    cu = p.astype(jnp.uint64)
+                    kcols.append(cu.astype(jnp.uint32))
+                    kcols.append((cu >> jnp.uint64(32)).astype(jnp.uint32))
+                else:
+                    kcols.append(p.astype(jnp.uint32))
+            qpad = jnp.zeros(Bq, jnp.uint32)
+            ops = jax.lax.sort(
+                (xs, ot) + tuple(jnp.concatenate([c, qpad]) for c in kcols),
+                num_keys=2, is_stable=False)
+            if stage == 1:                       # merge sort
+                return ops[1].sum() + ops[2].sum()
+            xs_s, ot_s = ops[0], ops[1]
+            is_key = ot_s < 0
+            rank = jnp.cumsum(is_key.astype(jnp.int32)) - 1
+            prop = jax.lax.cummax(jnp.where(is_key, xs_s,
+                                            jnp.zeros((), xs.dtype)))
+            eq = (prop == xs_s) & (rank >= 0)
+            r1 = (rank + jnp.int32(1)).astype(jnp.int64) << 32
+            cols = []
+            for c_s in ops[2:]:
+                packed = jnp.where(is_key, r1 | c_s.astype(jnp.int64),
+                                   jnp.int64(0))
+                v = jax.lax.cummax(packed).astype(jnp.uint32)
+                cols.append(jnp.where(eq, v, jnp.uint32(0)))
+            if stage == 2:                       # payload pickup cummaxes
+                return sum(c.sum() for c in cols)
+            ordk = jnp.where(is_key, jnp.int32(2**31 - 1), ot_s)
+            out = jax.lax.sort((ordk, *cols), num_keys=1, is_stable=False)
+            taken = [c[:Bq].reshape(q.shape) for c in out[1:]]
+            if stage == 3:                       # unsort
+                return sum(c.sum() for c in taken)
+            if hist.dtype.itemsize == 8:
+                h2 = (taken[0].astype(jnp.uint64)
+                      | (taken[1].astype(jnp.uint64) << jnp.uint64(32))
+                      ).astype(hist.dtype)
+                start2 = taken[2].astype(jnp.int32)
+            else:
+                h2 = taken[0].astype(hist.dtype)
+                start2 = taken[1].astype(jnp.int32)
+            valid = (ct > 0)[:, None]
+            h2 = jnp.where(valid, h2, jnp.zeros((), h2.dtype))
+            hits = _hist_hits(h2, G)
+            tl = classify_tallies(hits, ct > 0, J)
+            lt = hits.sum(axis=0, dtype=jnp.int64)
+            return tl.sum() + lt.sum() + start2.sum()        # full pass 1
+        return fn
+
+    # ---------- pass 2: fold + expand + gather + decode + scatter --------
+    def p2(stage):
+        def fn(km, ct, start, h, post):
+            pc = _fold_pc(km, ct, cfg=gcfg)
+            if stage == 0:                       # fold_pc
+                return pc.sum()
+            lens, prefix = _saved_lens_prefix(h, best_j)
+            startf = (start + prefix).reshape(N2).astype(jnp.int32)
+            lensf = lens.reshape(N2)
+            if stage == 1:                       # lens_prefix
+                return pc.sum() + startf.sum() + lensf.sum()
+            own_c, pidx_s, lane_valid, total = _expand_lanes(startf, lensf, LB)
+            if stage == 2:                       # expand_lanes
+                return pc.sum() + own_c.sum() + pidx_s.sum() + total
+            pv = post[pidx_s]
+            if stage == 3:                       # posting gather (random)
+                return pc.sum() + pv.sum() + own_c.sum()
+            # decode (inlined from _scatter_lanes, minus the scatters)
+            if pv.dtype == jnp.int32:
+                g = pv >> 6
+                m = pv & 63
+            else:
+                g = (pv >> 22).astype(jnp.int32) - fbase
+                m = (pv & 0x3FFFFF).astype(jnp.int32)
+            idx = m & 31
+            is_canon = (m >> 5) & 1
+            b = own_c // J
+            v = pc[b * k + idx]                  # fold-table gather (random)
+            base = jnp.where(is_canon == 1, (v >> 2) & 3, v & 3)
+            fwd = (is_canon == ((v >> 4) & 1))
+            n_lane = v >> 5
+            pos = jnp.where(lane_valid, g, T)
+            cell = pos * 4 + base
+            row_len = (T + 1) * 4
+            from bronko_tpu.ops.map import (
+                PLANE_CNT_FWD, PLANE_CNT_REV, PLANE_DEPTH_FWD,
+                PLANE_DEPTH_REV,
+            )
+            depth_target = jnp.where(fwd, PLANE_DEPTH_FWD * row_len,
+                                     PLANE_DEPTH_REV * row_len) + cell
+            cnt_target = jnp.where(fwd, PLANE_CNT_FWD * row_len,
+                                   PLANE_CNT_REV * row_len) + cell
+            if stage == 4:                       # fold gather + decode
+                return (depth_target.sum() + cnt_target.sum()
+                        + n_lane.sum())
+            flat = jnp.zeros(4 * row_len, jnp.int32)
+            flat = flat.at[depth_target].max(jnp.where(lane_valid, n_lane, 0))
+            flat = flat.at[cnt_target].add(lane_valid.astype(jnp.int32))
+            return flat.sum()                    # scatters (full pass 2)
+        return fn
+
+    # ---------- op-appropriate ceilings ---------------------------------
+    rng = np.random.default_rng(7)
+    SL = U + N2
+
+    def pure_sort_ceiling(dtypes, num_keys):
+        arrs = []
+        for dt in dtypes:
+            if dt == np.uint64:
+                arrs.append(jnp.asarray(rng.integers(0, 2**63, SL,
+                                                     dtype=np.uint64)))
+            elif dt == np.int32:
+                arrs.append(jnp.asarray(rng.integers(-2**31, 2**31 - 1, SL,
+                                                     dtype=np.int64)
+                                        .astype(np.int32)))
+            else:
+                arrs.append(jnp.asarray(rng.integers(0, 2**32, SL,
+                                                     dtype=np.uint64)
+                                        .astype(np.uint32)))
+        return timed(lambda *a: jax.lax.sort(a, num_keys=num_keys,
+                                             is_stable=False)[0].sum(),
+                     arrs)
+
+    n_pay = 2 if hist.dtype.itemsize == 4 else 3
+    sort1_pure = pure_sort_ceiling([np.uint64, np.int32]
+                                   + [np.uint32] * n_pay, 2)
+    sortu_pure = pure_sort_ceiling([np.int32] + [np.uint32] * n_pay, 1)
+    x64 = jnp.asarray(rng.integers(0, 2**62, SL, dtype=np.int64))
+    cummax_pure = timed(lambda a: jax.lax.cummax(a).sum(), (x64,))
+    big = jnp.asarray(rng.integers(0, 2**31, 16 << 20, dtype=np.int32))
+    bw_s = timed(lambda a: (a + 1).sum(), (big,))
+    bw_ns_per_byte = bw_s / (2 * 4 * (16 << 20)) * 1e9  # read + write
+    flatN = 4 * (T + 1) * 4
+    sidx = jnp.asarray(rng.integers(0, flatN, LB, dtype=np.int32))
+    sval = jnp.asarray(rng.integers(0, 1000, LB, dtype=np.int32))
+    scat_pure = timed(
+        lambda i, v: jnp.zeros(flatN, jnp.int32).at[i].add(v).sum(),
+        (sidx, sval))
+
+    def ew_floor_ms(bytes_moved):
+        return bytes_moved * bw_ns_per_byte * 1e-6
+
+    p1_floors = {
+        # unpack (B,k) i32 + revcomp + J u64 queries out
+        "bucket_q": ew_floor_ms(B * k * 4 * 3 + N2 * 8),
+        "merge_sort": sort1_pure * 1e3,
+        "pickup_cummax": (2 + n_pay) * cummax_pure * 1e3,
+        "unsort": sortu_pure * 1e3,
+        # (B,J) hist -> (B,G) hits -> tallies: ~4 passes over (B,J)
+        "hist_classify": ew_floor_ms(N2 * hist.dtype.itemsize * 4),
+    }
+    p2_floors = {
+        "fold_pc": ew_floor_ms(B * k * 4 * 3),
+        "lens_prefix": ew_floor_ms(N2 * (h0.dtype.itemsize + 8)),
+        # cumsum N2 + sorted scatter into LB+1 + cummax LB + monotone gathers
+        "expand_lanes": cummax_pure / SL * (N2 + LB) * 1e3 \
+            + ew_floor_ms(LB * 8),
+        "posting_gather": LB * gather_ns * 1e-6,
+        "fold_gather_decode": LB * gather_ns * 1e-6 + ew_floor_ms(LB * 16),
+        "scatters": 2 * LB * gather_ns * 1e-6,
+    }
+
+    out = {"method": "cumulative deltas vs per-op measured ceilings",
+           "shapes": {"B": B, "J": J, "U": U, "LB": LB, "T": T,
+                      "sort_lanes": SL},
+           "ceilings": {
+               "sort_merge_pure_ms": round(sort1_pure * 1e3, 2),
+               "sort_unsort_pure_ms": round(sortu_pure * 1e3, 2),
+               "cummax_pure_ms": round(cummax_pure * 1e3, 2),
+               "scatter_add_pure_ms": round(scat_pure * 1e3, 2),
+               "stream_bw_GBps": round(1.0 / bw_ns_per_byte, 1),
+               "gather_ns": gather_ns,
+           },
+           "pass1": {}, "pass2": {}, "truncated": False}
+
+    p1_names = ["bucket_q", "merge_sort", "pickup_cummax", "unsort",
+                "hist_classify"]
+    p2_names = ["fold_pc", "lens_prefix", "expand_lanes", "posting_gather",
+                "fold_gather_decode", "scatters"]
+    prev = 0.0
+    for i, name in enumerate(p1_names):
+        if time.time() - t_ledger0 > budget_s:
+            out["truncated"] = True
+            break
+        cum = timed(p1(i), (km, ct, keys, hist, offsets))
+        d = max(cum - prev, 0.0)
+        fl = p1_floors[name]
+        out["pass1"][name] = {
+            "ms": round(d * 1e3, 2), "floor_ms": round(fl, 2),
+            "x": round(d * 1e3 / fl, 2) if fl > 0 else None,
+            "cum_ms": round(cum * 1e3, 2)}
+        prev = cum
+    p1_total = prev
+    prev = 0.0
+    for i, name in enumerate(p2_names):
+        if time.time() - t_ledger0 > budget_s:
+            out["truncated"] = True
+            break
+        cum = timed(p2(i), (km, ct, start0, h0, post))
+        d = max(cum - prev, 0.0)
+        fl = p2_floors[name]
+        out["pass2"][name] = {
+            "ms": round(d * 1e3, 2), "floor_ms": round(fl, 2),
+            "x": round(d * 1e3 / fl, 2) if fl > 0 else None,
+            "cum_ms": round(cum * 1e3, 2)}
+        prev = cum
+    p2_total = prev
+    out["pass1_total_ms"] = round(p1_total * 1e3, 2)
+    out["pass2_total_ms"] = round(p2_total * 1e3, 2)
+    out["stages_sum_ms"] = round((p1_total + p2_total) * 1e3, 2)
+    out["fused_measured_ms"] = round(fused_map_s * 1e3, 2)
+    # fused runs both passes in ONE dispatch; the stage jits pay two, and
+    # XLA may fuse across the pass boundary — the difference is the
+    # dispatch + cross-pass-fusion term, not an op
+    out["fused_vs_sum_ms"] = round((fused_map_s - p1_total - p2_total) * 1e3,
+                                   2)
+    out["ledger_wall_s"] = round(time.time() - t_ledger0, 1)
+    return out
 
 
 def _tpu_scale_sweep(index, dev, cfg, fastq, full_map_s: float) -> dict | None:
@@ -562,15 +861,41 @@ def _pipeline_main():
         summaries = run_call(bcfg, index, dev)
         batch_s = min(batch_s, time.time() - t0)
 
-    # streamed single-sample latency: partitioned count->tally overlap
+    # single-sample e2e: classic vs streamed run_call, INTERLEAVED
+    # (relay wall time drifts +/-30%; alternation keeps the A/B
+    # in-epoch — VERDICT r4 item 2: the latency-proxy gate once left an
+    # 18% faster streamed path on the table). The measured pair is then
+    # SAVED as this host's outcome calibration so the engine's auto gate
+    # picks by measured wall time, and a final auto-gated run records
+    # what a user actually gets.
+    from bronko_tpu.call.engine import _can_stream, save_stream_calibration
+
     scfg = CallConfig(db="bench", reads=[fastq],
                       output=os.path.join(CACHE, "out_stream"))
-    run_call(scfg, index, dev)  # warm
-    stream_s = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        run_call(scfg, index, dev)
-        stream_s = min(stream_s, time.time() - t0)
+
+    def _timed_run(**env):
+        saved = {k: os.environ.pop(k, None)
+                 for k in ("BRONKO_STREAM", "BRONKO_NO_STREAM")}
+        os.environ.update(env)
+        try:
+            t0 = time.time()
+            run_call(scfg, index, dev)
+            return time.time() - t0
+        finally:
+            for k in ("BRONKO_STREAM", "BRONKO_NO_STREAM"):
+                os.environ.pop(k, None)
+                if saved.get(k) is not None:
+                    os.environ[k] = saved[k]
+
+    _timed_run(BRONKO_NO_STREAM="1")   # warm classic-path compiles
+    _timed_run(BRONKO_STREAM="1")      # warm streamed-path compiles
+    classic_e2e_s = stream_s = float("inf")
+    for _ in range(3):
+        classic_e2e_s = min(classic_e2e_s, _timed_run(BRONKO_NO_STREAM="1"))
+        stream_s = min(stream_s, _timed_run(BRONKO_STREAM="1"))
+    save_stream_calibration(classic_e2e_s, stream_s)
+    gate_streams = _can_stream(scfg, dev, None)
+    gated_s = _timed_run()             # what the auto gate now delivers
     batch_reads = r["reads"] * len(summaries)
     reads_per_sec = batch_reads / batch_s
 
@@ -597,6 +922,21 @@ def _pipeline_main():
     sol_s = sort_sol_s + random_accesses * gather_ns * 1e-9
     roofline_pct = 100.0 * sol_s / map_s if map_s > 0 else 0.0
 
+    # per-op ledger of the fused map residual (VERDICT r4 item 1) —
+    # cumulative stage deltas priced against measured op ceilings
+    handles = r.pop("_handles", None)
+    warm.pop("_handles", None)
+    ledger = None
+    if platform != "cpu" and handles is not None and os.environ.get(
+            "BRONKO_BENCH_LEDGER", "1").strip().lower() not in (
+            "0", "false", "no", "off"):
+        try:
+            ledger = _roofline_ledger(dev, handles, r["fused_map_s"],
+                                      gather_ns)
+        except Exception as e:  # noqa: BLE001
+            print(f"# roofline ledger failed: {e!r}", file=sys.stderr)
+    handles = None
+
     scale_tpu = None
     if platform != "cpu":
         scale_tpu = _tpu_scale_sweep(index, dev, cfg, fastq, map_s)
@@ -617,8 +957,15 @@ def _pipeline_main():
             call_s=round(r["call_s"], 3),
             total_s=round(r["total_s"], 3),
             reads_per_sec=round(r["reads"] / r["total_s"], 1),
+            # interleaved e2e A/B (run_call wall times) + the auto-gated
+            # outcome: gated_total_s is the user-visible single-sample
+            # number and must track min(classic, streamed) within noise
+            e2e_classic_s=round(classic_e2e_s, 3),
             streamed_total_s=round(stream_s, 3),
             streamed_reads_per_sec=round(r["reads"] / stream_s, 1),
+            gated_total_s=round(gated_s, 3),
+            gated_reads_per_sec=round(r["reads"] / gated_s, 1),
+            gate_decision="streamed" if gate_streams else "classic",
         ),
         batch=dict(
             n=n_batch, best_s=round(batch_s, 2),
@@ -637,6 +984,7 @@ def _pipeline_main():
             speed_of_light_s=round(sol_s, 4),
             device_map_s=round(map_s, 4),
             roofline_pct=round(roofline_pct, 1),
+            residual_ns_by_op=ledger,
         ),
         h2d_bytes=r["h2d_bytes"],
         scale_tpu=scale_tpu,
@@ -841,8 +1189,10 @@ def main() -> None:
         "detail": {
             "host_baseline_reads_per_sec": host_rps,
             "batch": out["batch"],
-            "single_total_s": out["single"]["total_s"],
-            "single_reads_per_sec": out["single"]["reads_per_sec"],
+            "single_total_s": out["single"]["gated_total_s"],
+            "single_reads_per_sec": out["single"]["gated_reads_per_sec"],
+            "single_gate": out["single"]["gate_decision"],
+            "single_instrumented_s": out["single"]["total_s"],
             "stages_s": {k: out["single"].get(f"{k}_s") for k in
                          ("count", "h2d", "tally", "pileup", "fused_map",
                           "call")},
