@@ -305,6 +305,17 @@ struct ChunkSink {
     len = 0;
     tainted = with_markers;
   }
+  // pre-size the output so the decode loop never pays the vector's
+  // doubling ladder (each doubling memcpys the whole stream so far —
+  // ~2x the chunk's output re-moved across ~9 steps from the 64 KB
+  // start at bench shapes)
+  void reserve_hint(size_t n_syms) {
+    if (tainted) {
+      if (syms.size() < n_syms) syms.resize(n_syms);
+    } else if (bytes.size() < n_syms) {
+      bytes.resize(n_syms);
+    }
+  }
   inline void ensure(size_t extra) {
     if (tainted) {
       if (len + extra > syms.size())
@@ -320,7 +331,15 @@ struct ChunkSink {
     else
       bytes[len++] = (char)b;
   }
-  // caller ensure()d n and validated dist (clean: dist <= len)
+  // caller ensure()d n + kCopySlack and validated dist (clean:
+  // dist <= len). Overlapping matches (dist < n) take chunked copies
+  // with OVERSHOOT (up to kCopySlack elements past n, inside the
+  // ensure()d slack; len only advances by n so overshoot bytes are
+  // rewritten by the next emit): FASTQ decode is match-dominated (66 MB
+  // from 8 MB of input on the bench-shaped file), so the per-match loop
+  // is the decoder's hot path, not the Huffman tables (the fast-table
+  // experiments measured a wash; see docs/roadmap.md).
+  static constexpr unsigned kCopySlack = 16;
   inline void copy(unsigned dist, unsigned n) {
     if (tainted) {
       // virtual prefix: position p < 0 is marker 256 + (32768 + p)
@@ -328,10 +347,35 @@ struct ChunkSink {
       if (len >= dist) {
         const uint16_t* src = dst - dist;
         len += n;
-        if (dist >= n) {
-          memcpy(dst, src, (size_t)n * 2);  // most matches don't overlap
+        if (dist >= 8) {
+          // CONSTANT-size 16-byte blocks stepping 8 symbols (overlap OK:
+          // each block's read window ends >= dist >= 8 symbols behind its
+          // write window, so sequential blocks read only settled data;
+          // the final block overshoots into the ensure()d slack). The
+          // constant size inlines to two vector moves — the old
+          // variable-length memcpy call was the decoder's per-match tax
+          // at the measured avg match of ~18 bytes (3.8M matches/66 MB)
+          for (unsigned i = 0; i < n; i += 8) {
+            memcpy(dst, src, 16);
+            dst += 8;
+            src += 8;
+          }
+        } else if (dist == 1) {
+          // RLE run (constant-quality lines): broadcast fill
+          uint16_t v = src[0];
+          for (unsigned i = 0; i < n; ++i) dst[i] = v;
         } else {
-          while (n--) *dst++ = *src++;  // byte order handles overlap (RLE)
+          // 2..7: double the period (each copy distance stays a multiple
+          // of dist, so the periodic region extends correctly), then
+          // finish in 16-byte blocks from the widened distance
+          unsigned have = 0, step = dist;
+          while (have < n && step < 8) {
+            memcpy(dst + have, dst + have - step, (size_t)step * 2);
+            have += step;
+            step *= 2;
+          }
+          for (; have < n; have += 8)
+            memcpy(dst + have, dst + have - step, 16);
         }
       } else {
         size_t p = len - (size_t)dist;  // wraps; treat as signed
@@ -346,10 +390,23 @@ struct ChunkSink {
       const char* src = bytes.data() + len - dist;
       char* dst = bytes.data() + len;
       len += n;
-      if (dist >= n) {
-        memcpy(dst, src, n);
+      if (dist >= 16) {
+        for (unsigned i = 0; i < n; i += 16) {
+          memcpy(dst, src, 16);
+          dst += 16;
+          src += 16;
+        }
+      } else if (dist == 1) {
+        memset(dst, src[0], n);
       } else {
-        while (n--) *dst++ = *src++;
+        unsigned have = 0, step = dist;
+        while (have < n && step < 16) {
+          memcpy(dst + have, dst + have - step, step);
+          have += step;
+          step *= 2;
+        }
+        for (; have < n; have += 16)
+          memcpy(dst + have, dst + have - step, 16);
       }
     }
   }
@@ -401,7 +458,7 @@ int decode_huff_block(BitReader& br, const Huff& lit, const Huff& dist,
       if (ds < 0 || ds > 29) return -1;
       unsigned d = kDistBase[ds] + br.get(kDistExtra[ds]);
       if (first_chunk && d > co.len) return -1;
-      co.ensure(len);
+      co.ensure(len + ChunkSink::kCopySlack);  // chunked copies overshoot
       co.copy(d, len);
     }
     if (co.len >= out_cap) return 1;
@@ -476,6 +533,7 @@ size_t find_anchor(const uint8_t* d, size_t n, size_t start_byte,
 
 struct ChunkResult {
   ChunkSink sink;
+  size_t reserve_syms = 0;  // pre-size hint (ISIZE/nchunks x slack)
   size_t end_bit = 0;   // bit after the chunk's last block
   bool saw_final = false;
   bool ok = false;
@@ -492,6 +550,7 @@ void decode_chunk(const uint8_t* d, size_t n, size_t anchor,
   BitReader br;
   br.init(d, n, anchor);
   out.sink.init(!first_chunk);
+  out.sink.reserve_hint(out.reserve_syms);
   Huff lit, dist;
   for (;;) {
     size_t at = br.bit_offset();
@@ -580,7 +639,12 @@ int64_t runs() { return g_runs.load(); }
 
 bool parallel_inflate(const uint8_t* in, size_t n, std::vector<char>& out) {
   int mode = env_mode();
-  unsigned hw = std::thread::hardware_concurrency();
+  // BRONKO_PARALLEL_GZ_THREADS substitutes the detected hardware thread
+  // count (gate AND worker pool): the >=8-thread auto gate ships untested
+  // on narrow CI hosts otherwise — tests cap/raise it to drive both sides
+  // of the gate on a 4-core box (VERDICT r4 item 7)
+  unsigned hw = (unsigned)env_size("BRONKO_PARALLEL_GZ_THREADS",
+                                   std::thread::hardware_concurrency());
   if (mode == 0 || (mode < 0 && hw < 8)) return false;
   if (n < env_size("BRONKO_PARALLEL_GZ_MIN", 4u << 20)) return false;
   size_t hdr = parse_gzip_header(in, n);
@@ -614,15 +678,21 @@ bool parallel_inflate(const uint8_t* in, size_t n, std::vector<char>& out) {
   uint32_t isize_hint;
   memcpy(&isize_hint, in + n - 4, 4);
   size_t out_cap = (size_t)isize_hint + (64u << 10);
-  // u16 symbol streams hold ~2x the inflated size while chunks are in
-  // flight; bound the peak (BRONKO_PARALLEL_GZ_MAX_OUT overrides)
+  // u16 symbol streams hold ~3x the inflated size while chunks are in
+  // flight (pre-sized to 1.5x the equal share each, 2 B/symbol); bound
+  // the peak (BRONKO_PARALLEL_GZ_MAX_OUT overrides)
   if ((size_t)isize_hint > env_size("BRONKO_PARALLEL_GZ_MAX_OUT", 512u << 20))
     return false;
 
-  // speculative decode (parallel)
+  // speculative decode (parallel); chunks pre-size to an equal share of
+  // ISIZE plus slack (skewed chunks just fall back to ensure()'s growth)
   std::vector<ChunkResult> res(nchunks);
+  size_t hint = std::min(out_cap,
+                         ((size_t)isize_hint / (size_t)nchunks) * 3 / 2
+                             + (256u << 10));
   parallel_for(nchunks, nt, [&](int i) {
     size_t stop = i + 1 < nchunks ? anchors[i + 1] : SIZE_MAX;
+    res[i].reserve_syms = hint;
     decode_chunk(in, n, anchors[i], stop, i == 0, out_cap, res[i], abort);
   });
   double t_decode = now_s();

@@ -237,3 +237,53 @@ def test_zlib_stream_level0_stored(tmp_path):
     data, ran = _inflate(path)
     assert data == text
     assert ran == 0
+
+
+@pytest.fixture(scope="module")
+def gate_gz(tmp_path_factory):
+    """A >=4 MB compressed body (the 2 MB/chunk floor needs 2+ chunks):
+    random ACGT compresses ~2.5x at level 1, so ~20 MB raw suffices."""
+    rng = np.random.default_rng(5)
+    raw = rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                     size=20 << 20).tobytes()
+    path = str(tmp_path_factory.mktemp("gate") / "gate.fastq.gz")
+    with open(path, "wb") as f:
+        f.write(gzip.compress(raw, 1))
+    assert os.path.getsize(path) > (4 << 20) + 1024
+    return path, raw
+
+
+def test_auto_gate_thread_capped(gate_gz, monkeypatch):
+    """The shipped AUTO default (engage only at >= 8 hardware threads)
+    driven on both sides via BRONKO_PARALLEL_GZ_THREADS (VERDICT r4
+    item 7: the dev host has 4 cores, so the >=8 branch of the gate was
+    never executed before this harness)."""
+    path, raw = gate_gz
+    monkeypatch.delenv("BRONKO_PARALLEL_GZ", raising=False)   # AUTO
+
+    monkeypatch.setenv("BRONKO_PARALLEL_GZ_THREADS", "4")     # narrow host
+    data, runs = _inflate(path)
+    assert runs == 0 and data == raw    # gate closed; serial path correct
+
+    monkeypatch.setenv("BRONKO_PARALLEL_GZ_THREADS", "8")     # wide host
+    data, runs = _inflate(path)
+    assert runs == 1 and data == raw    # gate open; parallel + CRC-clean
+
+    monkeypatch.setenv("BRONKO_PARALLEL_GZ_THREADS", "7")
+    data, runs = _inflate(path)
+    assert runs == 0 and data == raw    # boundary: 7 < 8 stays closed
+
+    monkeypatch.setenv("BRONKO_PARALLEL_GZ", "0")             # off beats hw
+    monkeypatch.setenv("BRONKO_PARALLEL_GZ_THREADS", "16")
+    data, runs = _inflate(path)
+    assert runs == 0 and data == raw
+
+
+def test_explicit_on_bypasses_thread_gate(gate_gz, monkeypatch):
+    """BRONKO_PARALLEL_GZ=1 (the fixture default) engages the parallel
+    path even on a narrow host — the explicit opt-in exists exactly for
+    that, and CRC verification keeps it safe anywhere."""
+    path, raw = gate_gz
+    monkeypatch.setenv("BRONKO_PARALLEL_GZ_THREADS", "4")
+    data, runs = _inflate(path)
+    assert runs == 1 and data == raw
