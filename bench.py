@@ -342,6 +342,11 @@ def _roofline_ledger(dev, handles, fused_map_s: float, gather_ns: float,
             ts.append(time.time() - t0)
         return min(ts[1:])
 
+    # per-dispatch overhead at this epoch: every stage jit pays ONE of
+    # these; cumulative deltas cancel it except in each pass's FIRST
+    # stage, and every pure-op ceiling includes it — both corrected below
+    disp_s = timed(lambda a: a.sum(), (jnp.zeros(8, jnp.int32),))
+
     # ---------- pass 1: probe + histogram tally (sortops narrow path) ----
     def p1(stage):
         def fn(km, ct, keys, hist, offsets):
@@ -366,7 +371,10 @@ def _roofline_ledger(dev, handles, fused_map_s: float, gather_ns: float,
                 (xs, ot) + tuple(jnp.concatenate([c, qpad]) for c in kcols),
                 num_keys=2, is_stable=False)
             if stage == 1:                       # merge sort
-                return ops[1].sum() + ops[2].sum()
+                # consume EVERY output so XLA materializes the whole
+                # sort here rather than deferring columns to later deltas
+                return (ops[0].astype(jnp.uint32).sum() + ops[1].sum()
+                        + sum(c.sum() for c in ops[2:]))
             xs_s, ot_s = ops[0], ops[1]
             is_key = ot_s < 0
             rank = jnp.cumsum(is_key.astype(jnp.int32)) - 1
@@ -381,12 +389,12 @@ def _roofline_ledger(dev, handles, fused_map_s: float, gather_ns: float,
                 v = jax.lax.cummax(packed).astype(jnp.uint32)
                 cols.append(jnp.where(eq, v, jnp.uint32(0)))
             if stage == 2:                       # payload pickup cummaxes
-                return sum(c.sum() for c in cols)
+                return sum(c.sum() for c in cols) + rank.sum() + eq.sum()
             ordk = jnp.where(is_key, jnp.int32(2**31 - 1), ot_s)
             out = jax.lax.sort((ordk, *cols), num_keys=1, is_stable=False)
             taken = [c[:Bq].reshape(q.shape) for c in out[1:]]
             if stage == 3:                       # unsort
-                return sum(c.sum() for c in taken)
+                return sum(c.sum() for c in taken) + out[0].sum()
             if hist.dtype.itemsize == 8:
                 h2 = (taken[0].astype(jnp.uint64)
                       | (taken[1].astype(jnp.uint64) << jnp.uint64(32))
@@ -477,20 +485,26 @@ def _roofline_ledger(dev, handles, fused_map_s: float, gather_ns: float,
                      arrs)
 
     n_pay = 2 if hist.dtype.itemsize == 4 else 3
-    sort1_pure = pure_sort_ceiling([np.uint64, np.int32]
-                                   + [np.uint32] * n_pay, 2)
-    sortu_pure = pure_sort_ceiling([np.int32] + [np.uint32] * n_pay, 1)
+    # pure-op ceilings pay their own dispatch; subtract it so floors
+    # compare against the dispatch-cancelled stage deltas
+    dd = disp_s
+
+    sort1_pure = max(pure_sort_ceiling([np.uint64, np.int32]
+                                       + [np.uint32] * n_pay, 2) - dd, 1e-4)
+    sortu_pure = max(pure_sort_ceiling([np.int32] + [np.uint32] * n_pay, 1)
+                     - dd, 1e-4)
     x64 = jnp.asarray(rng.integers(0, 2**62, SL, dtype=np.int64))
-    cummax_pure = timed(lambda a: jax.lax.cummax(a).sum(), (x64,))
+    cummax_pure = max(timed(lambda a: jax.lax.cummax(a).sum(), (x64,)) - dd,
+                      1e-4)
     big = jnp.asarray(rng.integers(0, 2**31, 16 << 20, dtype=np.int32))
-    bw_s = timed(lambda a: (a + 1).sum(), (big,))
+    bw_s = max(timed(lambda a: (a + 1).sum(), (big,)) - dd, 1e-4)
     bw_ns_per_byte = bw_s / (2 * 4 * (16 << 20)) * 1e9  # read + write
     flatN = 4 * (T + 1) * 4
     sidx = jnp.asarray(rng.integers(0, flatN, LB, dtype=np.int32))
     sval = jnp.asarray(rng.integers(0, 1000, LB, dtype=np.int32))
-    scat_pure = timed(
+    scat_pure = max(timed(
         lambda i, v: jnp.zeros(flatN, jnp.int32).at[i].add(v).sum(),
-        (sidx, sval))
+        (sidx, sval)) - dd, 1e-4)
 
     def ew_floor_ms(bytes_moved):
         return bytes_moved * bw_ns_per_byte * 1e-6
@@ -515,7 +529,9 @@ def _roofline_ledger(dev, handles, fused_map_s: float, gather_ns: float,
         "scatters": 2 * LB * gather_ns * 1e-6,
     }
 
-    out = {"method": "cumulative deltas vs per-op measured ceilings",
+    out = {"method": "cumulative deltas (dispatch-cancelled) vs "
+                     "dispatch-corrected per-op measured ceilings",
+           "dispatch_ms": round(disp_s * 1e3, 2),
            "shapes": {"B": B, "J": J, "U": U, "LB": LB, "T": T,
                       "sort_lanes": SL},
            "ceilings": {
@@ -532,43 +548,62 @@ def _roofline_ledger(dev, handles, fused_map_s: float, gather_ns: float,
                 "hist_classify"]
     p2_names = ["fold_pc", "lens_prefix", "expand_lanes", "posting_gather",
                 "fold_gather_decode", "scatters"]
-    prev = 0.0
-    for i, name in enumerate(p1_names):
-        if time.time() - t_ledger0 > budget_s:
-            out["truncated"] = True
-            break
-        cum = timed(p1(i), (km, ct, keys, hist, offsets))
-        d = max(cum - prev, 0.0)
-        fl = p1_floors[name]
-        out["pass1"][name] = {
-            "ms": round(d * 1e3, 2), "floor_ms": round(fl, 2),
-            "x": round(d * 1e3 / fl, 2) if fl > 0 else None,
-            "cum_ms": round(cum * 1e3, 2)}
-        prev = cum
-    p1_total = prev
-    prev = 0.0
-    for i, name in enumerate(p2_names):
-        if time.time() - t_ledger0 > budget_s:
-            out["truncated"] = True
-            break
-        cum = timed(p2(i), (km, ct, start0, h0, post))
-        d = max(cum - prev, 0.0)
-        fl = p2_floors[name]
-        out["pass2"][name] = {
-            "ms": round(d * 1e3, 2), "floor_ms": round(fl, 2),
-            "x": round(d * 1e3 / fl, 2) if fl > 0 else None,
-            "cum_ms": round(cum * 1e3, 2)}
-        prev = cum
-    p2_total = prev
+    def run_pass(names, floors, builder, args, key):
+        # prev starts at disp_s: each pass's first stage pays one
+        # dispatch that later deltas cancel — without this the first op
+        # absorbs ~an entire dispatch of phantom cost
+        prev = disp_s
+        for i, name in enumerate(names):
+            if time.time() - t_ledger0 > budget_s:
+                out["truncated"] = True
+                break
+            cum = timed(builder(i), args)
+            d = max(cum - prev, 0.0)
+            fl = floors[name]
+            out[key][name] = {
+                "ms": round(d * 1e3, 2), "floor_ms": round(fl, 2),
+                "x": round(d * 1e3 / fl, 2) if fl > 0 else None,
+                "cum_ms": round(cum * 1e3, 2)}
+            prev = max(cum, prev)
+        return prev - disp_s
+
+    p1_total = run_pass(p1_names, p1_floors, p1,
+                        (km, ct, keys, hist, offsets), "pass1")
+    p2_total = run_pass(p2_names, p2_floors, p2,
+                        (km, ct, start0, h0, post), "pass2")
     out["pass1_total_ms"] = round(p1_total * 1e3, 2)
     out["pass2_total_ms"] = round(p2_total * 1e3, 2)
     out["stages_sum_ms"] = round((p1_total + p2_total) * 1e3, 2)
     out["fused_measured_ms"] = round(fused_map_s * 1e3, 2)
-    # fused runs both passes in ONE dispatch; the stage jits pay two, and
-    # XLA may fuse across the pass boundary — the difference is the
-    # dispatch + cross-pass-fusion term, not an op
-    out["fused_vs_sum_ms"] = round((fused_map_s - p1_total - p2_total) * 1e3,
-                                   2)
+    # re-measure the REAL fused dispatch in THIS epoch (the headline
+    # fused_map_s was measured minutes earlier; relay wall drifts +/-30%
+    # and an epoch-mismatched fused-vs-sum misattributes drift as fusion
+    # overhead)
+    try:
+        from bronko_tpu.ops.map import map_fused_jit
+
+        kjh, cjh = handles["kj"], handles["cj"]
+        glen2 = jnp.asarray(2 * np.asarray(dev.genome_lens, np.int64))
+        fbases = jnp.asarray(np.asarray(dev.file_bases, np.int32))
+        ts = []
+        for _ in range(3):
+            tj0 = jnp.zeros((dev.num_genomes, 3), jnp.int32)
+            t0 = time.time()
+            outf = map_fused_jit(kjh, cjh, keys, offsets, hist, post, tj0,
+                                 glen2, fbases, mcfg, gcfg)
+            np.asarray(outf[0])
+            np.asarray(outf[5][0, :8])
+            ts.append(time.time() - t0)
+        fused_now = min(ts[1:])
+        out["fused_now_ms"] = round(fused_now * 1e3, 2)
+        # fused = pass1 + pass2 + ONE dispatch + cross-pass fusion;
+        # after dispatch cancellation this is the fusion/overhead term
+        out["fused_vs_sum_ms"] = round(
+            (fused_now - disp_s - p1_total - p2_total) * 1e3, 2)
+    except Exception as e:  # noqa: BLE001
+        print(f"# ledger fused re-measure failed: {e!r}", file=sys.stderr)
+        out["fused_vs_sum_ms"] = round(
+            (fused_map_s - disp_s - p1_total - p2_total) * 1e3, 2)
     out["ledger_wall_s"] = round(time.time() - t_ledger0, 1)
     return out
 
@@ -992,6 +1027,33 @@ def _pipeline_main():
     return out
 
 
+def ledger_mode() -> None:
+    """Standalone per-op ledger run (TPU): single-sample pipeline for the
+    device handles, then _roofline_ledger only — iterating on the ledger
+    without paying the cohort/scale phases."""
+    genome_paths, fastqs = _ensure_data()
+    fastq = fastqs[0]
+
+    import bronko_tpu  # noqa: F401
+
+    from bronko_tpu.config import CallConfig
+    from bronko_tpu.index.build import build_index
+    from bronko_tpu.index.layout import build_device_index
+
+    cfg = CallConfig(db="bench", reads=[fastq],
+                     output=os.path.join(CACHE, "out"))
+    os.makedirs(cfg.output, exist_ok=True)
+    index = build_index(cfg.kmer, genome_paths)
+    dev = build_device_index(index)
+    r = _single_sample_run(index, dev, cfg, fastq)
+    handles = r.pop("_handles")
+    _, gather_ns, _ = _measure_ceilings(r["sort_lanes"],
+                                        4 * r["scatter_lanes"])
+    led = _roofline_ledger(dev, handles, r["fused_map_s"], gather_ns)
+    print(json.dumps({"fused_map_s": r["fused_map_s"],
+                      "ledger": led}, indent=1))
+
+
 def host_baseline_mode() -> None:
     out = _pipeline_main()
     print(json.dumps({"host_reads_per_sec": out["batch"]["reads_per_sec"],
@@ -1221,5 +1283,7 @@ if __name__ == "__main__":
         host_baseline_mode()
     elif "--scale-proxy" in sys.argv:
         scale_proxy_mode()
+    elif "--ledger" in sys.argv:
+        ledger_mode()
     else:
         main()
