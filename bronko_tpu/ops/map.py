@@ -202,15 +202,24 @@ def _expand_lanes(startf, lensf, LB: int):
     a lane array of LB posting indices.
     Returns (owner index, posting index, lane validity, true lane total).
 
-    Owner derivation rides ONE sorted-index scatter + a cummax instead of
-    searchsorted(method='sort') (which internally argsorts N2+LB lanes and
-    rank-scatters them — measured 230 ms vs 195 ms for the whole pileup
-    step at bench shapes): every row scatter-maxes its row index at its
-    run-start lane (exclusive cumsum — non-decreasing, so the scatter is
-    sorted), and a cummax propagates the owner across its run. Zero-length
-    rows share their start lane with the NEXT nonzero row, which is always
-    the largest row index in the equal-start group, so the max keeps
-    exactly the owning row."""
+    Owner derivation is a single-key MERGE of the (sorted) exclusive
+    cumsum against the (sorted) lane ids — a radix-friendly i64 sort with
+    the row's CSR offset riding as a sort operand, propagated to its run
+    by a packed (rank+1)<<32|value cummax (the _merge_probe pickup
+    scheme). Replaces the earlier sorted scatter-max + random diff[own_c]
+    gather: the round-5 per-op ledger priced those at 22 + 10 ms of the
+    34 ms expand at bench shapes, while single-key sorts measure
+    ~1.1 ns/lane (radix lowering) — the merge runs the same derivation in
+    ~12 ms (tools/bench_expand_tpu.py; v1 searchsorted(method='sort')
+    measured 46 ms, the scatter formulation 34 ms).
+
+    Key layout: (value << (SH+1)) | (is_query << SH) | ordinal — queries
+    sort AFTER equal-valued key rows (side='right' semantics) and the
+    ordinal tiebreak orders equal-excl key rows (zero-length runs) by row
+    index, so the cummax propagates the LAST equal row's offset — the
+    same owner the scatter-max-of-row-index rule picked.
+
+    BRONKO_EXPAND_MERGE=0 restores the scatter formulation (debug/A-B)."""
     N2 = startf.shape[0]
     cum = jnp.cumsum(lensf, dtype=jnp.int32)             # inclusive
     # exact int64 total: if the true posting load ever exceeded 2^31 the
@@ -223,12 +232,47 @@ def _expand_lanes(startf, lensf, LB: int):
     diff = startf - excl
     lane_ids = jnp.arange(LB, dtype=jnp.int32)
     rows = jnp.arange(N2, dtype=jnp.int32)
-    marks = jnp.full(LB + 1, -1, jnp.int32).at[jnp.minimum(excl, LB)].max(
-        rows, indices_are_sorted=True, mode="drop")
-    own_c = jnp.maximum(jax.lax.cummax(marks[:LB]), 0)
+    if not _expand_merge_enabled():
+        marks = jnp.full(LB + 1, -1, jnp.int32).at[jnp.minimum(excl, LB)].max(
+            rows, indices_are_sorted=True, mode="drop")
+        own_c = jnp.maximum(jax.lax.cummax(marks[:LB]), 0)
+        lane_valid = lane_ids < jnp.minimum(total, LB)
+        pidx_s = jnp.where(lane_valid, lane_ids + diff[own_c], 0)
+        return own_c, pidx_s, lane_valid, total
+    SH = max(int(max(N2, LB) - 1).bit_length(), 1)
+    xs = jnp.concatenate([
+        (excl.astype(jnp.int64) << (SH + 1)) | rows.astype(jnp.int64),
+        (lane_ids.astype(jnp.int64) << (SH + 1)) | (jnp.int64(1) << SH)
+        | lane_ids.astype(jnp.int64),
+    ])
+    dv = jnp.concatenate([
+        jax.lax.bitcast_convert_type(diff, jnp.uint32),
+        jnp.zeros(LB, jnp.uint32),
+    ])
+    xs_s, dv_s = jax.lax.sort((xs, dv), num_keys=1, is_stable=False)
+    is_key = ((xs_s >> SH) & 1) == 0
+    rank = jnp.cumsum(is_key.astype(jnp.int32)) - 1
+    packed = jnp.where(
+        is_key,
+        ((rank + 1).astype(jnp.int64) << 32) | dv_s.astype(jnp.int64),
+        jnp.int64(0))
+    dprop = jax.lax.cummax(packed).astype(jnp.uint32)
+    ordq = jnp.where(is_key, jnp.int32(2**31 - 1),
+                     (xs_s & ((jnp.int64(1) << SH) - 1)).astype(jnp.int32))
+    out = jax.lax.sort((ordq, rank, dprop), num_keys=1, is_stable=False)
+    own_c = jnp.maximum(out[1][:LB], 0)
+    dq = jax.lax.bitcast_convert_type(out[2][:LB], jnp.int32)
     lane_valid = lane_ids < jnp.minimum(total, LB)
-    pidx_s = jnp.where(lane_valid, lane_ids + diff[own_c], 0)
+    pidx_s = jnp.where(lane_valid, lane_ids + dq, 0)
     return own_c, pidx_s, lane_valid, total
+
+
+@functools.lru_cache(maxsize=1)
+def _expand_merge_enabled() -> bool:
+    """Merge-based _expand_lanes owner derivation (default ON);
+    BRONKO_EXPAND_MERGE=0 restores the scatter-max formulation."""
+    return os.environ.get("BRONKO_EXPAND_MERGE", "1").strip().lower() \
+        not in ("0", "false", "no", "off")
 
 
 def _scatter_lanes(pileup, pc, post, own_c, lane_valid, *, J: int, k: int,
