@@ -381,19 +381,23 @@ def _roofline_ledger(dev, handles, fused_map_s: float, gather_ns: float,
                         + sum(c.sum() for c in ops[2:]))
             xs_s, ot_s = ops[0], ops[1]
             is_key = ot_s < 0
-            rank = jnp.cumsum(is_key.astype(jnp.int32)) - 1
             prop = jax.lax.cummax(jnp.where(is_key, xs_s,
                                             jnp.zeros((), xs.dtype)))
-            eq = (prop == xs_s) & (rank >= 0)
-            r1 = (rank + jnp.int32(1)).astype(jnp.int64) << 32
+            pos1 = (jnp.arange(xs.shape[0], dtype=jnp.int32)
+                    + jnp.int32(1)).astype(jnp.int64) << 32
             cols = []
+            seen_key = None
             for c_s in ops[2:]:
-                packed = jnp.where(is_key, r1 | c_s.astype(jnp.int64),
+                packed = jnp.where(is_key, pos1 | c_s.astype(jnp.int64),
                                    jnp.int64(0))
-                v = jax.lax.cummax(packed).astype(jnp.uint32)
-                cols.append(jnp.where(eq, v, jnp.uint32(0)))
+                vp = jax.lax.cummax(packed)
+                if seen_key is None:
+                    seen_key = vp != 0
+                    eq = (prop == xs_s) & seen_key
+                cols.append(jnp.where(eq, vp.astype(jnp.uint32),
+                                      jnp.uint32(0)))
             if stage == 2:                       # payload pickup cummaxes
-                return sum(c.sum() for c in cols) + rank.sum() + eq.sum()
+                return sum(c.sum() for c in cols) + eq.sum()
             ordk = jnp.where(is_key, jnp.int32(2**31 - 1), ot_s)
             out = jax.lax.sort((ordk, *cols), num_keys=1, is_stable=False)
             taken = [c[:Bq].reshape(q.shape) for c in out[1:]]
@@ -523,7 +527,7 @@ def _roofline_ledger(dev, handles, fused_map_s: float, gather_ns: float,
         # unpack (B,k) i32 + revcomp + J u64 queries out
         "bucket_q": ew_floor_ms(B * k * 4 * 3 + N2 * 8),
         "merge_sort": sort1_pure * 1e3,
-        "pickup_cummax": (2 + n_pay) * cummax_pure * 1e3,
+        "pickup_cummax": (1 + n_pay) * cummax_pure * 1e3,
         "unsort": sortu_pure * 1e3,
         # (B,J) hist -> (B,G) hits -> tallies: ~4 passes over (B,J)
         "hist_classify": ew_floor_ms(N2 * hist.dtype.itemsize * 4),
@@ -797,7 +801,10 @@ def _tpu_scale_sweep(index, dev, cfg, fastq, full_map_s: float) -> dict | None:
         per_row_s = {1: per_row_map_s(1, 4)}
         routed_s = {}
         routed_errs = {}
-        for D in (4, 16):
+        # D=2 anchors the LOW end of the routed-vs-B-split crossover —
+        # _routed_wins' 0.15 constant was two-point-calibrated (D=4,
+        # D=16; ADVICE r4) and D=2 is where B-split should win
+        for D in (2, 4, 16):
             per_row_s[D] = per_row_map_s(D, 4)
             # one retry: relay contention transiently fails dispatches
             # (BENCH_r03 shipped empty routed rows from exactly this)

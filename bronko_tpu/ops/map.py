@@ -269,10 +269,19 @@ def _expand_lanes(startf, lensf, LB: int):
 
 @functools.lru_cache(maxsize=1)
 def _expand_merge_enabled() -> bool:
-    """Merge-based _expand_lanes owner derivation (default ON);
-    BRONKO_EXPAND_MERGE=0 restores the scatter-max formulation."""
-    return os.environ.get("BRONKO_EXPAND_MERGE", "1").strip().lower() \
-        not in ("0", "false", "no", "off")
+    """Merge-based _expand_lanes owner derivation. Default: TPU only —
+    the radix-friendly single-key sorts that make the merge 1.7x faster
+    there (31.8 -> 18.3 ms, tools/bench_expand_tpu.py) are comparison
+    sorts on the CPU backend, where the merge measured ~60% SLOWER than
+    the scatter form (scale-proxy D=1 5.5 -> 9.0 s; it would also have
+    silently inflated the bench's measured-host-baseline ratio).
+    BRONKO_EXPAND_MERGE=1/0 forces either way."""
+    env = os.environ.get("BRONKO_EXPAND_MERGE", "").strip().lower()
+    if env in ("0", "false", "no", "off"):
+        return False
+    if env in ("1", "true", "yes", "on"):
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def _scatter_lanes(pileup, pc, post, own_c, lane_valid, *, J: int, k: int,
@@ -430,17 +439,29 @@ def _merge_probe(q, keys, payloads, sortops: bool = True):
             num_keys=2, is_stable=False)
         xs_s, ot_s = ops[0], ops[1]
         is_key = ot_s < 0
-        rank = jnp.cumsum(is_key.astype(jnp.int32)) - 1
         prop = jax.lax.cummax(jnp.where(is_key, xs_s,
                                         jnp.zeros((), xs.dtype)))
-        eq = (prop == xs_s) & (rank >= 0)
-        r1 = (rank + jnp.int32(1)).astype(jnp.int64) << 32
+        # POSITION-packed pickup, not rank-packed: positions strictly
+        # increase, so the cummax still carries the LAST key row's value,
+        # and the rank cumsum (a full extra scan over U+N2 lanes — the r5
+        # ledger priced the pickup at the 4-scan ceiling) is dropped. The
+        # "any key row seen yet" guard (old rank >= 0, needed when a
+        # query value equals cummax's 0 init — possible since bucket
+        # hashes can wrap to 0 at k=31) falls out of the first packed
+        # cummax: any key row packs >= 1<<32 > 0.
+        pos1 = (jnp.arange(xs.shape[0], dtype=jnp.int32)
+                + jnp.int32(1)).astype(jnp.int64) << 32
         cols = []
+        seen_key = None
         for c_s in ops[2:]:
-            packed = jnp.where(is_key, r1 | c_s.astype(jnp.int64),
+            packed = jnp.where(is_key, pos1 | c_s.astype(jnp.int64),
                                jnp.int64(0))
-            v = jax.lax.cummax(packed).astype(jnp.uint32)
-            cols.append(jnp.where(eq, v, jnp.uint32(0)))
+            vp = jax.lax.cummax(packed)
+            if seen_key is None:
+                seen_key = vp != 0
+                eq = (prop == xs_s) & seen_key
+            cols.append(jnp.where(eq, vp.astype(jnp.uint32),
+                                  jnp.uint32(0)))
     else:
         xs_s, ot_s = jax.lax.sort((xs, ot), num_keys=2, is_stable=False)
         is_key = ot_s < 0

@@ -471,3 +471,54 @@ def test_pileup_u16_export_roundtrip():
     pl[2, 7, 1] = -1
     p16 = np.asarray(_pileup_export_u16(jnp.asarray(pl)))
     assert pileup_from_u16(p16) is None
+
+
+def test_expand_lanes_merge_equals_scatter():
+    """The merge-based _expand_lanes owner derivation (TPU default; radix
+    single-key sorts) must equal the scatter-max formulation elementwise
+    on randomized CSR range inputs, including zero-length runs, budget
+    overflow tails, and the all-empty case. CPU runs take the scatter
+    form by default, so the merge is FORCED here for coverage."""
+    import os
+
+    import bronko_tpu.ops.map as m
+
+    rng = np.random.default_rng(17)
+    try:
+        m._expand_merge_enabled.cache_clear()
+        for trial in range(40):
+            N2 = int(rng.integers(4, 200))
+            LB = int(rng.integers(4, 300))
+            lensf = jnp.asarray(rng.integers(0, 5, N2).astype(np.int32))
+            if trial % 7 == 0:
+                lensf = jnp.zeros(N2, jnp.int32)      # all-empty
+            startf = jnp.asarray(rng.integers(0, 1000, N2).astype(np.int32))
+
+            os.environ["BRONKO_EXPAND_MERGE"] = "0"
+            m._expand_merge_enabled.cache_clear()
+            o0 = [np.asarray(x) for x in m._expand_lanes(startf, lensf, LB)]
+
+            os.environ["BRONKO_EXPAND_MERGE"] = "1"
+            m._expand_merge_enabled.cache_clear()
+            o1 = [np.asarray(x) for x in m._expand_lanes(startf, lensf, LB)]
+
+            for a, b in zip(o0, o1):
+                np.testing.assert_array_equal(a, b, err_msg=f"trial {trial}")
+    finally:
+        os.environ.pop("BRONKO_EXPAND_MERGE", None)
+        m._expand_merge_enabled.cache_clear()
+
+
+def test_expand_merge_default_is_backend_gated():
+    """Unset env: merge only on the TPU backend (comparison sorts make it
+    slower on CPU, and it must not skew the CPU host-baseline)."""
+    import os
+
+    import jax
+
+    import bronko_tpu.ops.map as m
+
+    os.environ.pop("BRONKO_EXPAND_MERGE", None)
+    m._expand_merge_enabled.cache_clear()
+    assert m._expand_merge_enabled() == (jax.default_backend() == "tpu")
+    m._expand_merge_enabled.cache_clear()
