@@ -519,6 +519,20 @@ def _roofline_ledger(dev, handles, fused_map_s: float, gather_ns: float,
     scat_pure = max(timed(
         lambda i, v: jnp.zeros(flatN, jnp.int32).at[i].add(v).sum(),
         (sidx, sval)) - dd, 1e-4)
+    # expand's irreducible op: TWO single-key i64 sorts with one payload
+    # at N2 + LB lanes (the merge + its unsort) — measured directly so
+    # the floor tracks the radix lowering, position-weighted so the sort
+    # can't be DCE'd
+    EL = N2 + LB
+    ek = jnp.asarray(rng.integers(0, 2**62, EL, dtype=np.int64))
+    ep = jnp.asarray(rng.integers(0, 2**32, EL, dtype=np.uint64)
+                     .astype(np.uint32))
+    we = jnp.arange(EL, dtype=jnp.int64)
+
+    def esort(a, b):
+        out = jax.lax.sort((a, b), num_keys=1, is_stable=False)
+        return sum((o.astype(jnp.int64) * we).sum() for o in out)
+    expand_sort_pure = max(timed(esort, (ek, ep)) - dd, 1e-4)
 
     def ew_floor_ms(bytes_moved):
         return bytes_moved * bw_ns_per_byte * 1e-6
@@ -535,9 +549,10 @@ def _roofline_ledger(dev, handles, fused_map_s: float, gather_ns: float,
     p2_floors = {
         "fold_pc": ew_floor_ms(B * k * 4 * 3),
         "lens_prefix": ew_floor_ms(N2 * (h0.dtype.itemsize + 8)),
-        # cumsum N2 + sorted scatter into LB+1 + cummax LB + monotone gathers
-        "expand_lanes": cummax_pure / SL * (N2 + LB) * 1e3 \
-            + ew_floor_ms(LB * 8),
+        # two single-key radix sorts (merge + unsort) + the packed cummax
+        # + cumsum, all at N2+LB lanes
+        "expand_lanes": (2 * expand_sort_pure
+                         + 2 * cummax_pure / SL * (N2 + LB)) * 1e3,
         "posting_gather": LB * gather_ns * 1e-6,
         "fold_gather_decode": LB * gather_ns * 1e-6 + ew_floor_ms(LB * 16),
         "scatters": 2 * LB * gather_ns * 1e-6,
@@ -553,6 +568,7 @@ def _roofline_ledger(dev, handles, fused_map_s: float, gather_ns: float,
                "sort_unsort_pure_ms": round(sortu_pure * 1e3, 2),
                "cummax_pure_ms": round(cummax_pure * 1e3, 2),
                "scatter_add_pure_ms": round(scat_pure * 1e3, 2),
+               "expand_sort_pure_ms": round(expand_sort_pure * 1e3, 2),
                "stream_bw_GBps": round(1.0 / bw_ns_per_byte, 1),
                "gather_ns": gather_ns,
            },
