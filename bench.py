@@ -1079,7 +1079,11 @@ def ledger_mode() -> None:
     index = build_index(cfg.kmer, genome_paths)
     dev = build_device_index(index)
     r = _single_sample_run(index, dev, cfg, fastq)
-    handles = r.pop("_handles")
+    handles = r.pop("_handles", None)
+    if handles is None:
+        print("# --ledger needs the TPU backend (the CPU run skips the "
+              "fused path and returns no device handles)", file=sys.stderr)
+        raise SystemExit(1)
     _, gather_ns, _ = _measure_ceilings(r["sort_lanes"],
                                         4 * r["scatter_lanes"])
     led = _roofline_ledger(dev, handles, r["fused_map_s"], gather_ns)

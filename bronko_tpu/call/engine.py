@@ -287,6 +287,14 @@ class ShardedMapper:
                 self._globalize(starts_r, self.mesh, P("data", "genome", None)),
                 self._globalize(bounds, self.mesh, P("genome", None)),
             )
+            # only bounds (kept separately in _bounds_np) is consulted
+            # after the upload — drop the host copies of the routed
+            # tables (another full padded index copy) rather than caching
+            # them for the run's lifetime. The budget worker only calls
+            # _route_split_np when _bounds_np is still None, so this
+            # cannot force a recompute.
+            with self._route_lock:
+                self._route_np = None
         return self._routed
 
     def _tally_step(self, batchwise: bool):
@@ -352,7 +360,8 @@ class ShardedMapper:
 
             def _work():
                 try:
-                    self._route_split_np()
+                    if self._bounds_np is None:
+                        self._route_split_np()
                     box["C"] = route_budget_exact(
                         kj_np, cj_np, self.mcfg, self._bounds_np,
                         self.n_data)
@@ -1446,6 +1455,11 @@ def _run_call_inner(cfg: CallConfig, index: BronkoIndex,
 
     sharded = None
     if cfg.mesh:
+        # reset the layout evidence for THIS run — a mesh run that
+        # records nothing (e.g. every sample fails) must not inherit the
+        # previous run's set (dryrun/test assertions consume it)
+        global LAST_MESH_LAYOUTS
+        LAST_MESH_LAYOUTS = frozenset()
         log.info("Sharding the mapping pipeline over a %s device mesh", cfg.mesh)
         sharded = ShardedMapper(index, cfg, dev)
         if cfg.batch_size % sharded.n_devices:
@@ -1738,7 +1752,6 @@ def _run_call_inner(cfg: CallConfig, index: BronkoIndex,
             write_alignments(cfg.output, summaries, variant_info, index.files, log)
 
     if sharded is not None and sharded.layouts_used:
-        global LAST_MESH_LAYOUTS
         LAST_MESH_LAYOUTS = frozenset(sharded.layouts_used)
         log.info("mesh layouts used this run: %s",
                  "+".join(sorted(sharded.layouts_used)))

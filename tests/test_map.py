@@ -509,16 +509,16 @@ def test_expand_lanes_merge_equals_scatter():
         m._expand_merge_enabled.cache_clear()
 
 
-def test_expand_merge_default_is_backend_gated():
+def test_expand_merge_default_is_backend_gated(monkeypatch):
     """Unset env: merge only on the TPU backend (comparison sorts make it
     slower on CPU, and it must not skew the CPU host-baseline)."""
-    import os
-
     import jax
 
     import bronko_tpu.ops.map as m
 
-    os.environ.pop("BRONKO_EXPAND_MERGE", None)
+    monkeypatch.delenv("BRONKO_EXPAND_MERGE", raising=False)
     m._expand_merge_enabled.cache_clear()
-    assert m._expand_merge_enabled() == (jax.default_backend() == "tpu")
-    m._expand_merge_enabled.cache_clear()
+    try:
+        assert m._expand_merge_enabled() == (jax.default_backend() == "tpu")
+    finally:
+        m._expand_merge_enabled.cache_clear()
