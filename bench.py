@@ -767,7 +767,8 @@ def _tpu_scale_sweep(index, dev, cfg, fastq, full_map_s: float) -> dict | None:
                     # scan+ys shape compiles fine (unlike
                     # _tally_save_body's, see the sortops gating note)
                     got = _merge_probe(buf, kch, (hch, sch))
-                    vals = _unroute(list(got), slot, ord_s, Bl, J)
+                    vals = _unroute(list(got), slot, ord_s, Bl, J,
+                                    groups=groups, C=C)
                     h = jnp.where((ct > 0)[:, None], vals[0], 0)
                     hits = _hist_hits(h, G)
                     tl = tl + classify_tallies(hits, ct > 0, J)

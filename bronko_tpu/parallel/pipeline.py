@@ -518,36 +518,83 @@ def _route_group(qf, valid, bd, D: int, C: int):
 
 
 def _route_place(q_s, groups, D: int, C: int):
-    """(D*C,) routing buffer from the dest-grouped q_s — a MONOTONE GATHER,
-    not a scatter: buf.at[slot].set(q_s) on the u64 queries measured
-    11.7 ms of a 15.8 ms routed tally row at D=16 (~71 ns/lane — 64-bit
-    scatters are pathological on this TPU, tools/bench_routed_ab.py);
-    group d is contiguous at q_s[starts[d]:starts[d]+cnts[d]], so slot
-    d*C+i reads q_s[starts[d]+i], which is non-decreasing in the slot.
+    """(D*C,) routing buffer from the dest-grouped q_s — D CONTIGUOUS
+    COPIES, not a gather: group d is contiguous at
+    q_s[starts[d] : starts[d]+cnts[d]], so buffer row d is one
+    static-size dynamic_slice (a DMA at stream bandwidth). The original
+    buf.at[slot].set scatter measured ~71 ns/lane (64-bit scatters are
+    pathological on this TPU) and its gather replacement still priced
+    like a random gather (~26 ms of the 43 ms D=4 routed tally row,
+    tools/bench_routed_ab.py 'no-scatter' ablation) — per-lane
+    addressing hides the contiguity from XLA either way; the unrolled
+    slice loop (D <= 16) expresses it directly.
+
     Empty slots are 0, matching the zeros-init scattered buffer (bucket
     values are >= 1, so 0 never aliases a real query). Budget-overflow
-    lanes (i >= C) are simply never placed — the scatter clamped them
-    into the last slot instead — but overflow sets ov_r and the caller
-    retries with C doubled, so within-budget results are identical."""
+    lanes (i >= C) are simply never placed — overflow sets ov_r and the
+    caller retries with C doubled, so within-budget results are
+    identical."""
     starts, cnts = groups
-    i_all = jnp.arange(D * C, dtype=jnp.int32)
-    d_of = i_all // C
-    i_of = i_all - d_of * C
-    gidx = starts[d_of] + jnp.minimum(i_of, cnts[d_of])
-    gidx = jnp.minimum(gidx, q_s.shape[0] - 1)
-    vals = q_s.at[gidx].get(mode="clip", indices_are_sorted=True)
-    return jnp.where(i_of < cnts[d_of], vals, jnp.zeros((), q_s.dtype))
+    qp = jnp.concatenate([q_s, jnp.zeros(C, q_s.dtype)])  # slice headroom
+    iC = jnp.arange(C, dtype=jnp.int32)
+    rows = []
+    for d in range(D):
+        chunk = jax.lax.dynamic_slice_in_dim(qp, starts[d], C, axis=0)
+        rows.append(jnp.where(iC < cnts[d], chunk,
+                              jnp.zeros((), q_s.dtype)))
+    return jnp.concatenate(rows)
 
 
-def _unroute(backs, slot, ord_s, Bl: int, J: int):
-    """Return trip of the routed probe: monotone gather per payload from
-    the routed-back (D*C,) buffers at `slot`, then ONE sort restores the
-    original lane order for every payload column at once.
-    Returns a list of (Bl, J[, W]) arrays."""
+def _unroute(backs, slot, ord_s, Bl: int, J: int, groups=None,
+             C: int | None = None):
+    """Return trip of the routed probe: de-group each payload from its
+    routed-back (D*C,) buffer into dest-grouped sorted order, then ONE
+    sort restores the original lane order for every payload column at
+    once. Returns a list of (Bl, J[, W]) arrays.
+
+    With `groups`/`C` (the production path), de-grouping is D CONTIGUOUS
+    COPIES — buffer row d lands at [starts[d], starts[d]+C) via
+    static-size dynamic_update_slice (ascending d, so group d+1's write
+    begins exactly at starts[d]+cnts[d] and overwrites d's C-cnts[d]
+    tail garbage; only the final group's tail and the padding-dest
+    region stay garbage, which the caller's ct>0 mask / overflow retry
+    already discard — identical guarantees to the slot gather it
+    replaces, which priced like a random gather (~18 ms of the 43 ms
+    D=4 routed tally row, tools/bench_routed_ab.py 'no-gather'))."""
+    if groups is not None and C is not None:
+        starts, _cnts = groups
+        N2l = slot.shape[0]
+        cols = []
+        widths = []
+        for v in backs:
+            out_g = jnp.zeros((N2l + C,) + v.shape[1:], v.dtype)
+            for d in range(v.shape[0] // C):
+                chunk = jax.lax.dynamic_slice_in_dim(v, d * C, C, axis=0)
+                out_g = jax.lax.dynamic_update_slice_in_dim(
+                    out_g, chunk, starts[d], axis=0)
+            v_s = out_g[:N2l]
+            if v_s.ndim == 1:
+                cols.append(v_s)
+                widths.append(None)
+            else:
+                cols.extend(v_s[:, w] for w in range(v_s.shape[1]))
+                widths.append(v_s.shape[1])
+        out = jax.lax.sort((ord_s, *cols), num_keys=1, is_stable=False)
+        vals = []
+        ci = 1
+        for w in widths:
+            if w is None:
+                vals.append(out[ci].reshape(Bl, J))
+                ci += 1
+            else:
+                vals.append(jnp.stack(out[ci:ci + w], -1).reshape(Bl, J, w))
+                ci += w
+        return vals
     cols = []
     widths = []
     for v in backs:
-        v_s = v[slot]
+        # slot is non-decreasing (dest-major grouped positions) — hint it
+        v_s = v.at[slot].get(indices_are_sorted=True)
         if v_s.ndim == 1:
             cols.append(v_s)
             widths.append(None)
@@ -647,7 +694,7 @@ def make_routed_tally_scan(mesh: Mesh, cfg: MapConfig, mode: str, C: int,
                     v.reshape((D, C) + v.shape[1:]), "data", 0, 0,
                     tiled=True)
                 backs.append(vx.reshape((D * C,) + v.shape[1:]))
-            vals = _unroute(backs, slot, ord_s, Bl, J)
+            vals = _unroute(backs, slot, ord_s, Bl, J, groups=groups, C=C)
             h = vals[0]
             mask = (ct > 0)[:, None] if h.ndim == 2 else (ct > 0)[:, None, None]
             h = jnp.where(mask, h, jnp.zeros((), h.dtype))

@@ -85,7 +85,8 @@ def main() -> None:
                 q.reshape(N2l), jnp.repeat(ct > 0, J), bd, D, C)
             buf = _route_place(q_s, groups, D, C)
             got = _merge_probe(buf, kch, (hch, sch))
-            vals = _unroute(list(got), slot, ord_s, Bl, J)
+            vals = _unroute(list(got), slot, ord_s, Bl, J,
+                            groups=groups, C=C)
             h = jnp.where((ct > 0)[:, None], vals[0], 0)
             hits = _hist_hits(h, G)
             tl = tl + classify_tallies(hits, ct > 0, J)
