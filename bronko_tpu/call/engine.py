@@ -418,10 +418,14 @@ class ShardedMapper:
 
         CAVEAT (ADVICE r4): the 0.15 constant is TWO-POINT-calibrated
         (D=4, D=16, one bench shape); shapes between/outside those
-        points (D=2, tiny panels, very large B) rely on extrapolation.
+        points (tiny panels, very large B) rely on extrapolation.
         Perf-only risk — both layouts are bit-identical. bench.py's
-        shard proxy sweep includes D=2/D=8 rows to anchor the low end
-        as future epochs are measured."""
+        shard proxy sweep includes a D=2 row anchoring the low end
+        (2026-08-20: routed 0.0642 vs B-split 0.1165 s/row — routed
+        wins at D=2 on the bench shape too). The constant PRE-dates the
+        round-5 DMA routing rewrite that halved routed rows, so it is
+        now conservative: it only ever forgoes routed on tiny panels
+        where the stakes are microseconds."""
         U = int(self.sharded.keys.shape[1])
         N2 = int(kj.shape[1]) * len(self.mcfg.positions)
         return (self.n_data - 1) * U * 20 > 3 * N2
