@@ -564,37 +564,23 @@ def _unroute(backs, slot, ord_s, Bl: int, J: int, groups=None,
     if groups is not None and C is not None:
         starts, _cnts = groups
         N2l = slot.shape[0]
-        cols = []
-        widths = []
-        for v in backs:
+
+        def degroup(v):
             out_g = jnp.zeros((N2l + C,) + v.shape[1:], v.dtype)
             for d in range(v.shape[0] // C):
                 chunk = jax.lax.dynamic_slice_in_dim(v, d * C, C, axis=0)
                 out_g = jax.lax.dynamic_update_slice_in_dim(
                     out_g, chunk, starts[d], axis=0)
-            v_s = out_g[:N2l]
-            if v_s.ndim == 1:
-                cols.append(v_s)
-                widths.append(None)
-            else:
-                cols.extend(v_s[:, w] for w in range(v_s.shape[1]))
-                widths.append(v_s.shape[1])
-        out = jax.lax.sort((ord_s, *cols), num_keys=1, is_stable=False)
-        vals = []
-        ci = 1
-        for w in widths:
-            if w is None:
-                vals.append(out[ci].reshape(Bl, J))
-                ci += 1
-            else:
-                vals.append(jnp.stack(out[ci:ci + w], -1).reshape(Bl, J, w))
-                ci += w
-        return vals
+            return out_g[:N2l]
+    else:
+        def degroup(v):
+            # slot is non-decreasing (dest-major grouped positions)
+            return v.at[slot].get(indices_are_sorted=True)
+
     cols = []
     widths = []
     for v in backs:
-        # slot is non-decreasing (dest-major grouped positions) — hint it
-        v_s = v.at[slot].get(indices_are_sorted=True)
+        v_s = degroup(v)
         if v_s.ndim == 1:
             cols.append(v_s)
             widths.append(None)

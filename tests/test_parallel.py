@@ -547,3 +547,48 @@ def test_route_budget_exact_covers_worst_group():
     share = -(-N2l // D)
     Q = max(128, (-(-share // 16) + 127) & ~127)
     assert C - worst < Q or C == 128
+
+
+def test_unroute_grouped_equals_gather_fallback():
+    """The grouped DMA de-group path of _unroute (production: D
+    contiguous dynamic_update_slice copies, relying on the ascending-
+    write overwrite of each group's tail garbage) must equal the
+    slot-gather fallback on every VALID lane, for 1-D and 2-D payloads,
+    across randomized group shapes including empty groups."""
+    from bronko_tpu.parallel.pipeline import _unroute
+
+    rng = np.random.default_rng(41)
+    for trial in range(25):
+        D = int(rng.choice([2, 4, 8]))
+        Bl = int(rng.integers(1, 7))
+        J = int(rng.integers(1, 5))
+        N2l = Bl * J
+        # C must admit the worst group (within-budget — overflow retries
+        # rebuild the step, so equality is only promised within budget)
+        C = int(-(-N2l // D) + rng.integers(1, 5))
+        # random destination assignment (some groups may be empty);
+        # deterministically drain overfull groups into the emptiest
+        dest = rng.integers(0, D, N2l)
+        while True:
+            cnts = np.bincount(dest, minlength=D)
+            over = np.where(cnts > C)[0]
+            if len(over) == 0:
+                break
+            idx = np.where(dest == over[0])[0][0]
+            dest[idx] = int(np.argmin(cnts))
+        order = np.argsort(dest, kind="stable")
+        ord_s = jnp.asarray(order.astype(np.int32))
+        starts = np.concatenate([[0], np.cumsum(cnts)]).astype(np.int32)
+        pos = np.arange(N2l) - starts[dest[order]]
+        slot = jnp.asarray((dest[order] * C + pos).astype(np.int32))
+        groups = (jnp.asarray(starts), jnp.asarray(cnts.astype(np.int32)))
+
+        v1 = rng.integers(0, 1000, D * C).astype(np.int32)
+        v2 = rng.integers(0, 1000, (D * C, 3)).astype(np.int32)
+        backs = [jnp.asarray(v1), jnp.asarray(v2)]
+
+        got_g = _unroute(backs, slot, ord_s, Bl, J, groups=groups, C=C)
+        got_f = _unroute(backs, slot, ord_s, Bl, J)
+        for a, b in zip(got_g, got_f):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"trial {trial}")

@@ -152,7 +152,14 @@ def main() -> None:
                                    is_stable=False)
                 vals = [o.reshape(Bl, J) for o in out[1:]]
             else:
-                vals = _unroute(list(got), slot, ord_s, Bl, J)
+                # production path (grouped DMA de-group) when the route
+                # machinery ran; the noroute ablation keeps the gather
+                # fallback (its slot is a plain iota, no groups exist)
+                if noroute:
+                    vals = _unroute(list(got), slot, ord_s, Bl, J)
+                else:
+                    vals = _unroute(list(got), slot, ord_s, Bl, J,
+                                    groups=(starts, cnts), C=C)
             h = jnp.where((ct > 0)[:, None], vals[0], 0)
             hits = _hist_hits(h, G)
             tl = tl + classify_tallies(hits, ct > 0, J)

@@ -95,7 +95,7 @@ def main() -> None:
         q_s, ord_s, slot, groups, ov = _route_group(
             q.reshape(N2l), jnp.repeat(ct > 0, J), bd, D, C)
         buf = _route_place(q_s, groups, D, C)
-        return buf, ord_s, slot, ov
+        return buf, ord_s, slot, groups, ov
 
     @jax.jit
     def f_bucket(km):
@@ -108,8 +108,10 @@ def main() -> None:
         return got
 
     @jax.jit
-    def f_unroute(h, st, slot, ord_s):
-        vals = _unroute([h, st], slot, ord_s, Bl, J)
+    def f_unroute(h, st, slot, ord_s, groups):
+        # production path: grouped DMA de-group (the slot-gather fallback
+        # is no longer what the engine runs)
+        vals = _unroute([h, st], slot, ord_s, Bl, J, groups=groups, C=C)
         return vals
 
     import sys as _sys
@@ -121,12 +123,12 @@ def main() -> None:
     bucket_s = timed(f_bucket, (km,))
     note("route")
     route_s = timed(f_route, (km, ct))
-    buf, ord_s, slot, ov = f_route(km, ct)
+    buf, ord_s, slot, groups, ov = f_route(km, ct)
     note("probe")
     probe_s = timed(f_probe, (buf, kch, hch, sch))
     h, st = f_probe(buf, kch, hch, sch)
     note("unroute")
-    unroute_s = timed(f_unroute, (h, st, slot, ord_s))
+    unroute_s = timed(f_unroute, (h, st, slot, ord_s, groups))
 
     # pass 2 at the per-device budget
     from dataclasses import replace
@@ -135,7 +137,7 @@ def main() -> None:
                    max_bucket=dev.g_max_bucket, lane_budget=lane_b)
     post = (dev.postings_local32 if dev.postings_local32 is not None
             else dev.postings)
-    vals = f_unroute(h, st, slot, ord_s)
+    vals = f_unroute(h, st, slot, ord_s, groups)
     h_all = vals[0].reshape(1, Bl, J)
     st_all = vals[1].reshape(1, Bl, J)
     kmj = km.reshape(1, Bl)
