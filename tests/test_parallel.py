@@ -236,6 +236,19 @@ def test_routed_tally_matches_single(tmp_path, n_data, n_genome):
                               jnp.asarray(bounds))
     assert int(np.asarray(ov_tiny)[0]) != 0
 
+    # MULTI-BATCH (nb > 1) routed scan: a live production path — the
+    # engine takes routed whenever nb doesn't divide the device count —
+    # previously only covered at nb == 1
+    kj2, cj2 = _pad_batches(kmer_counts, 128)
+    assert kj2.shape[0] >= 2
+    # C = the device's whole per-batch query load: cannot overflow
+    C2 = (128 // n_data) * 16
+    step2 = make_routed_tally_scan(mesh, mcfg, "hist", C=C2)
+    tl2, _, ov2 = step2(kj2, cj2, jnp.asarray(keys_r), jnp.asarray(hist_r),
+                        jnp.asarray(starts_r), jnp.asarray(bounds))
+    assert int(np.asarray(ov2)[0]) == 0
+    assert np.array_equal(np.asarray(tl2), tallies1)
+
 
 def test_routed_tally_words_matches_single(tmp_path):
     """Routed tally in multi-word histogram mode (G > 8) on a 4x2 mesh."""
