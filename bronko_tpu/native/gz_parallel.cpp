@@ -444,7 +444,17 @@ int decode_huff_block(BitReader& br, const Huff& lit, const Huff& dist,
       if (br.bit_offset() > in_bits) return -1;
       continue;
     }
-    int s = lit.decode(br);
+    int s;
+    if (e) {
+      // the fast entry already identified a non-literal symbol (length
+      // or end-of-block) — consume it directly instead of re-walking
+      // lit.decode's second table lookup (matches dominate FASTQ
+      // streams: ~3.8M matches vs 1.4M literals per 66 MB measured)
+      br.consume(e & 15);
+      s = e >> 4;
+    } else {
+      s = lit.decode(br);
+    }
     if (s < 0) return -1;
     if (s < 256) {
       co.push_lit((uint8_t)s);
