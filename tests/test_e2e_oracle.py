@@ -635,3 +635,19 @@ def test_engine_equals_oracle_mesh_bsplit(tmp_path):
     assert got_name == want_name
     assert got_lines == want_lines
     assert len(got_lines) >= 1
+
+
+def test_engine_equals_oracle_with_merge_expand(tmp_path, monkeypatch):
+    """Full engine -> VCF with the merge-based _expand_lanes FORCED (the
+    TPU-default owner derivation; CPU defaults to the scatter form, so
+    without this the production TPU expand path had only unit-level CPU
+    coverage). Byte-equality against the composed scalar oracle."""
+    import bronko_tpu.ops.map as m
+
+    monkeypatch.setenv("BRONKO_EXPAND_MERGE", "1")
+    m._expand_merge_enabled.cache_clear()
+    try:
+        test_engine_equals_composed_oracle(tmp_path, 11, 3, 500, 350,
+                                           0.004, 2, 3, 0)
+    finally:
+        m._expand_merge_enabled.cache_clear()
