@@ -813,10 +813,11 @@ def _tpu_scale_sweep(index, dev, cfg, fastq, full_map_s: float) -> dict | None:
                 np.asarray(pileup[0, :8])
                 if rep:
                     best_t = min(best_t, time.time() - t0)
-            return best_t / (R * D)
+            return best_t / (R * D), C
 
         per_row_s = {1: per_row_map_s(1, 4)}
         routed_s = {}
+        routed_ici = {}
         routed_errs = {}
         # D=2 anchors the LOW end of the routed-vs-B-split crossover —
         # _routed_wins' 0.15 constant was two-point-calibrated (D=4,
@@ -827,7 +828,15 @@ def _tpu_scale_sweep(index, dev, cfg, fastq, full_map_s: float) -> dict | None:
             # (BENCH_r03 shipped empty routed rows from exactly this)
             for attempt in (0, 1):
                 try:
-                    routed_s[D] = per_row_routed_map_s(D, 4)
+                    routed_s[D], C_used = per_row_routed_map_s(D, 4)
+                    # analytic ICI transit the single-chip proxy cannot
+                    # measure: D*C u64 queries out + 8 B/query of payload
+                    # (hist word + CSR start) back, per device per row
+                    routed_ici[D] = {
+                        "bytes_per_device": D * C_used * 16,
+                        "ms_at_100GBps": round(
+                            D * C_used * 16 / 100e9 * 1e3, 3),
+                    }
                     routed_errs.pop(D, None)
                     break
                 except Exception as e:  # noqa: BLE001
@@ -855,6 +864,12 @@ def _tpu_scale_sweep(index, dev, cfg, fastq, full_map_s: float) -> dict | None:
             "routed_intra_batch_efficiency": {
                 str(d): round(per_row_s[1] / (d * t), 3)
                 for d, t in routed_s.items()},
+            # the proxy prices collectives at ZERO; this is the exact
+            # transit volume and its analytic cost on ~100 GB/s ICI —
+            # sub-ms against the multi-ms rows, so the superlinear
+            # efficiencies survive the collective term on real hardware
+            "routed_ici_analytic": {str(d): v
+                                    for d, v in routed_ici.items()},
             **({"routed_proxy_errors":
                 {str(d): m for d, m in routed_errs.items()}}
                if routed_errs else {}),
