@@ -1546,19 +1546,24 @@ def _run_call_inner(cfg: CallConfig, index: BronkoIndex,
         count_workers = 1
     count_threads = max(1, cfg.threads // count_workers)
 
-    # pipeline-fill cut (opt-in): on a cohort, every sample's count hides
-    # behind the PREVIOUS sample's device work — except the first, so
-    # streaming the first sample's count->tally (partitioned overlap) can
-    # fill the pipeline. Through the axon serving relay this LOSES: the
-    # per-partition tally dispatches each pay the relay's dispatch latency,
-    # which exceeds the ~0.5 s count being hidden (fresh-process TPU A/B on
-    # the 3-sample bench cohort: classic best 2.13 s vs streamed-first best
-    # 2.62 s). Default off; BRONKO_STREAM_FIRST=1 enables it for
-    # directly-attached TPU hosts where dispatch latency is microseconds.
+    # pipeline-fill cut: on a cohort, every sample's count hides behind
+    # the PREVIOUS sample's device work — except the first, so streaming
+    # the first sample's count->tally (partitioned overlap) can fill the
+    # pipeline. Through the axon serving relay this LOSES: the
+    # per-partition tally dispatches each pay the relay's dispatch
+    # latency, which exceeds the ~0.5 s count being hidden
+    # (fresh-process TPU A/B on the 3-sample bench cohort: classic best
+    # 2.13 s vs streamed-first best 2.62 s). Engaged when
+    # BRONKO_STREAM_FIRST=1 forces it, OR when the per-host OUTCOME
+    # calibration says the streamed single-sample path measures faster
+    # in this epoch class (_can_stream's non-explicit decision — true
+    # for directly-attached hosts, never through the slow relay).
     stream_first: list[str] | None = None
-    if (_env_flag("BRONKO_STREAM_FIRST")
-            and len(jobs_iter) > 1 and len(mcfg0.positions) > 0
-            and _can_stream(cfg, dev, sharded, explicit=True)):
+    if (len(jobs_iter) > 1 and len(mcfg0.positions) > 0
+            and (_env_flag("BRONKO_STREAM_FIRST")
+                 and _can_stream(cfg, dev, sharded, explicit=True)
+                 or not os.environ.get("BRONKO_STREAM_FIRST", "").strip()
+                 and _can_stream(cfg, dev, sharded))):
         stream_first = jobs_iter[0]
         stream_first_gidx = iter_gidx[0]
         jobs_iter = jobs_iter[1:]

@@ -22,15 +22,19 @@ def _mk_dev():
                                  fid_grouped=True)
 
 
-def _patch_env(monkeypatch, tmp_path, dispatch_s, calib=None):
+def _patch_env(monkeypatch, tmp_path, dispatch_s, calib=None,
+               patch_native=True):
     """Pin the latency probe, point the calibration path into tmp, and
-    make the native-lib check pass regardless of the build state."""
+    (by default) make the native-lib check pass regardless of the build
+    state — integration tests that really count pass patch_native=False
+    to keep the real library."""
     monkeypatch.setattr(eng, "_DISPATCH_LAT", [dispatch_s])
     path = str(tmp_path / "stream_calib.json")
     monkeypatch.setattr(eng, "_STREAM_CALIB_PATH", path)
-    import bronko_tpu.io.native as native
+    if patch_native:
+        import bronko_tpu.io.native as native
 
-    monkeypatch.setattr(native, "get_lib", lambda: object())
+        monkeypatch.setattr(native, "get_lib", lambda: object())
     for var in ("BRONKO_STREAM", "BRONKO_NO_STREAM"):
         monkeypatch.delenv(var, raising=False)
     if calib is not None:
@@ -105,3 +109,82 @@ def test_corrupt_calibration_ignored(monkeypatch, tmp_path):
         fh.write("{not json")
     assert eng._load_stream_calib() is None
     assert eng._can_stream(_mk_cfg(tmp_path), _mk_dev(), None) is False
+
+
+def test_cohort_stream_first_follows_calibration(monkeypatch, tmp_path,
+                                                 caplog):
+    """With no BRONKO_STREAM_FIRST set, a cohort's pipeline-fill cut
+    (first sample streamed) follows the OUTCOME calibration: engaged
+    when the calibration says the streamed path measures faster in this
+    epoch class, off otherwise — and the outputs are byte-identical
+    either way."""
+    import logging
+
+    import numpy as np
+
+    from bronko_tpu.call.engine import run_call
+    from bronko_tpu.config import CallConfig
+    from bronko_tpu.index.build import build_index
+    from bronko_tpu.index.layout import build_device_index
+    from bronko_tpu.io.native import get_lib
+    from tests.make_synthetic import (
+        make_genome, make_sample, write_fasta, write_fastq,
+    )
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable (streaming needs it)")
+
+    rng = np.random.default_rng(13)
+    seq = make_genome(rng, 600)
+    fasta = str(tmp_path / "g.fasta")
+    write_fasta(fasta, "gseq", seq)
+    fqs = []
+    for s in range(2):
+        reads, _ = make_sample(seq, rng, read_len=100, depth=120,
+                               major_positions={150 + 30 * s: 0.9},
+                               minor_positions={}, error_rate=0.003)
+        p = str(tmp_path / f"s{s}.fastq.gz")
+        write_fastq(p, reads)
+        fqs.append(p)
+    index = build_index(21, [fasta])
+    dev = build_device_index(index)
+
+    import os
+
+    def run(tag, calib, **env):
+        for var in ("BRONKO_STREAM", "BRONKO_NO_STREAM",
+                    "BRONKO_STREAM_FIRST"):
+            monkeypatch.delenv(var, raising=False)
+        for k_, v_ in env.items():
+            monkeypatch.setenv(k_, v_)
+        (tmp_path / tag).mkdir(exist_ok=True)
+        _patch_env(monkeypatch, tmp_path / tag, 0.001, calib=calib,
+                   patch_native=False)
+        out = str(tmp_path / f"out_{tag}")
+        cfg = CallConfig(db="x", reads=list(fqs), output=out,
+                         batch_size=1024, chunk_reads=4096)
+        with caplog.at_level(logging.INFO, logger="bronko"):
+            caplog.clear()
+            run_call(cfg, index, dev)
+        streamed_first = any("(streamed)" in r.getMessage()
+                             for r in caplog.records)
+        vcfs = sorted(f for f in os.listdir(out) if f.endswith(".vcf"))
+        data = b"".join(open(os.path.join(out, f), "rb").read()
+                        for f in vcfs)
+        return streamed_first, data
+
+    streamed_wins = dict(classic_s=0.9, streamed_s=0.5,
+                         dispatch_s=0.001, ts=0)
+    classic_wins = dict(classic_s=0.5, streamed_s=0.9,
+                        dispatch_s=0.001, ts=0)
+
+    on, vcf_on = run("auto_on", streamed_wins)
+    off, vcf_off = run("auto_off", classic_wins)
+    forced_off, vcf_f0 = run("forced_off", streamed_wins,
+                             BRONKO_STREAM_FIRST="0")
+    assert on is True          # calibration engages the pipeline-fill cut
+    assert off is False        # calibration keeps it off
+    assert forced_off is False  # explicit 0 beats the calibration
+    assert vcf_on == vcf_off == vcf_f0  # byte-identical either way
