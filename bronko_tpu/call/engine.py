@@ -1559,11 +1559,16 @@ def _run_call_inner(cfg: CallConfig, index: BronkoIndex,
     # in this epoch class (_can_stream's non-explicit decision — true
     # for directly-attached hosts, never through the slow relay).
     stream_first: list[str] | None = None
-    if (len(jobs_iter) > 1 and len(mcfg0.positions) > 0
-            and (_env_flag("BRONKO_STREAM_FIRST")
-                 and _can_stream(cfg, dev, sharded, explicit=True)
-                 or not os.environ.get("BRONKO_STREAM_FIRST", "").strip()
-                 and _can_stream(cfg, dev, sharded))):
+    if len(jobs_iter) > 1 and len(mcfg0.positions) > 0:
+        sf_env = os.environ.get("BRONKO_STREAM_FIRST", "").strip()
+        if sf_env:   # explicit 1 bypasses the auto decision; 0 = off
+            sf_on = _env_flag("BRONKO_STREAM_FIRST") and _can_stream(
+                cfg, dev, sharded, explicit=True)
+        else:        # unset: the outcome-calibrated auto gate decides
+            sf_on = _can_stream(cfg, dev, sharded)
+    else:
+        sf_on = False
+    if sf_on:
         stream_first = jobs_iter[0]
         stream_first_gidx = iter_gidx[0]
         jobs_iter = jobs_iter[1:]
