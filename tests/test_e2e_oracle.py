@@ -651,3 +651,66 @@ def test_engine_equals_oracle_with_merge_expand(tmp_path, monkeypatch):
                                            0.004, 2, 3, 0)
     finally:
         m._expand_merge_enabled.cache_clear()
+
+
+WIDENED_CASES = [
+    # round-5 fuzz widening: new seeds + shapes not previously drawn
+    (311, 6, 380, 360, 0.008, 3, 2, 4),   # 6-genome selection, high err
+    (422, 2, 1100, 420, 0.002, 5, 4, 0),  # longest genome yet, many plants
+    (533, 3, 520, 640, 0.005, 1, 6, 2),   # deep + minor-heavy
+]
+
+
+@pytest.mark.parametrize("seed,n_g,glen,depth,err,n_maj,n_min,src",
+                         WIDENED_CASES)
+def test_engine_equals_composed_oracle_widened(tmp_path, seed, n_g, glen,
+                                               depth, err, n_maj, n_min,
+                                               src):
+    test_engine_equals_composed_oracle(tmp_path, seed, n_g, glen, depth,
+                                       err, n_maj, n_min, src)
+
+
+def test_engine_equals_oracle_paired_with_flags(tmp_path):
+    """Paired-end COMPOSED with non-default filter flags (n_fixed=4 +
+    use_full_kmer) — the two quirks interact with the concatenated-stream
+    paired semantics (bucket trim changes which positions probe; full-
+    k-mer matching changes the perfect/variant split), and no prior case
+    drove them together."""
+    rng = np.random.default_rng(66)
+    k = 21
+    seq = make_genome(rng, 700)
+    p = str(tmp_path / "pf.fasta")
+    write_fasta(p, "pfseq", seq)
+    files = [("pf", [("pfseq", seq)])]
+    majors = {int(q): 0.88 for q in rng.integers(60, 640, 3)}
+    r1, _ = make_sample(seq, rng, read_len=100, depth=180,
+                        major_positions=majors, minor_positions={},
+                        error_rate=0.003)
+    r2, _ = make_sample(seq, rng, read_len=100, depth=180,
+                        major_positions=majors, minor_positions={},
+                        error_rate=0.003)
+    fq1 = str(tmp_path / "pf_R1.fastq.gz")
+    fq2 = str(tmp_path / "pf_R2.fastq.gz")
+    write_fastq(fq1, r1)
+    write_fastq(fq2, r2)
+
+    kmer_counts = _count_oracle(r1, k) + _count_oracle(r2, k)
+    want_lines, want_name = _oracle_vcf_lines(
+        files, kmer_counts, k, n_fixed=4, use_full_kmer=True)
+
+    out = str(tmp_path / "out_pf")
+    cfg = CallConfig(genomes=[p], first_pairs=[fq1], second_pairs=[fq2],
+                     output=out, batch_size=4096, chunk_reads=8192,
+                     n_fixed=4, use_full_kmer=True)
+    index = build_index(cfg.kmer, [p])
+    run_call(cfg, index, build_device_index(index))
+    vcf = [f for f in os.listdir(out) if f.endswith(".vcf")]
+    assert len(vcf) == 1
+    with open(os.path.join(out, vcf[0])) as fh:
+        got_lines = [ln.rstrip("\n") for ln in fh if not ln.startswith("#")]
+    with open(os.path.join(out, "bronko_overview.tsv")) as fh:
+        fh.readline()
+        got_name = fh.readline().split("\t")[1]
+    assert got_name == want_name
+    assert got_lines == want_lines
+    assert len(got_lines) >= 1
